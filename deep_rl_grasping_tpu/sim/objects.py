@@ -1,0 +1,188 @@
+"""Object library: fixed-size sphere-compound geometry for every graspable object.
+
+TPU-native replacement for the reference's URDF/OBJ assets
+(reference: models/wooden_blocks/*.urdf and the pybullet_data `random_urdfs`
+000-999 dataset, sampled in manipulation_main/simulation/base_scene.py:22-43).
+
+Instead of parsing meshes per episode reset (the reference reloads URDFs from
+disk every reset, SURVEY.md §3.4), geometry lives in dense arrays indexed by an
+integer object type:
+
+  centers  (T, S, 3)  sphere centers, COM frame, principal axes
+  radii    (T, S)     sphere radii (0 padding => masked out)
+  mass     (T,)       total mass
+  inv_inertia (T, 3)  inverse principal inertia diagonal
+  color    (T, 3)     base color for the renderer
+
+T = 6 wooden blocks + 1000 procedurally generated "random" objects matching
+the random_urdfs scale statistics (2-9 cm, 20-100 g). The 000-999 ids keep the
+reference's dataset split: train 0-699, validate 700-849, test 850-999
+(base_scene.py:32-43). Sphere compounds make both collision (sphere vs
+plane/box/sphere) and rendering (closed-form ray-sphere) branch-free and
+MXU/VPU friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+WOODEN_BLOCK_NAMES = [
+    "circular_segment",
+    "cube",
+    "cuboid0",
+    "cuboid1",
+    "cylinder",
+    "triangle",
+]
+NUM_WOODEN = len(WOODEN_BLOCK_NAMES)
+NUM_RANDOM = 1000
+WOOD_DENSITY = 740.0  # kg/m^3, matches 30 mm cube @ 0.020 kg (cube.urdf)
+
+
+def _box_spheres(half_extents, s):
+    """Fill a box with up to `s` spheres along its longest axis."""
+    hx, hy, hz = half_extents
+    r = min(hx, hy, hz)
+    long_axis = int(np.argmax(half_extents))
+    L = half_extents[long_axis]
+    n = max(1, min(s, int(np.ceil(L / r))))
+    centers = np.zeros((n, 3))
+    if n > 1:
+        centers[:, long_axis] = np.linspace(-(L - r), L - r, n)
+    return centers, np.full(n, r)
+
+
+def _block_geometry(name, s):
+    """Sphere approximations of the six wooden blocks (sizes from the shipped
+    meshes' bounding boxes; see models/wooden_blocks/meshes)."""
+    if name == "cube":
+        return _box_spheres([0.015, 0.015, 0.015], s)
+    if name == "cuboid0":
+        return _box_spheres([0.015, 0.03, 0.015], s)
+    if name == "cuboid1":
+        return _box_spheres([0.0075, 0.045, 0.015], s)
+    if name == "cylinder":
+        return _box_spheres([0.03, 0.015, 0.015], s)
+    if name == "circular_segment":
+        c, r = _box_spheres([0.015, 0.025, 0.010], s)
+        return c, r
+    if name == "triangle":
+        # wedge: two rows of shrinking spheres
+        c = np.array([[0.0, -0.013, -0.004], [0.0, 0.000, -0.004], [0.0, 0.013, -0.004], [0.0, 0.0, 0.008]])
+        r = np.array([0.011, 0.011, 0.011, 0.009])
+        return c, r
+    raise ValueError(name)
+
+
+def _random_object_geometry(rng, s):
+    """Procedural stand-in for one `random_urdfs` object.
+
+    The real dataset (gitignored in the reference, sourced from pybullet_data)
+    is a set of small scanned household objects ~3-10 cm across. We generate a
+    random blobby compound: a primary axis of overlapping spheres plus random
+    satellite spheres, uniformly scaled into the same size band.
+    """
+    n = int(rng.integers(3, s + 1))
+    base_r = rng.uniform(0.008, 0.016)
+    length = rng.uniform(0.015, 0.045)
+    axis = rng.normal(size=3)
+    # Bias toward lying shapes (graspable side profile)
+    axis[2] *= 0.3
+    axis /= np.linalg.norm(axis) + 1e-9
+    n_core = max(2, n - int(rng.integers(0, 2)))
+    t = np.linspace(-0.5, 0.5, n_core)
+    centers = np.outer(t, axis) * length
+    radii = base_r * rng.uniform(0.75, 1.25, size=n_core)
+    # satellites
+    n_sat = n - n_core
+    if n_sat > 0:
+        host = rng.integers(0, n_core, size=n_sat)
+        offs = rng.normal(size=(n_sat, 3))
+        offs /= np.linalg.norm(offs, axis=1, keepdims=True) + 1e-9
+        sat_r = base_r * rng.uniform(0.5, 0.9, size=n_sat)
+        sat_c = centers[host] + offs * (radii[host] * 0.8)[:, None]
+        centers = np.concatenate([centers, sat_c], 0)
+        radii = np.concatenate([radii, sat_r], 0)
+    return centers, radii
+
+
+def _compound_mass_inertia(centers, radii, density):
+    """Mass, COM and principal inertia of a union-of-spheres (treated as
+    disjoint solid spheres; overlap double-counting is acceptable for RL)."""
+    vols = 4.0 / 3.0 * np.pi * radii**3
+    masses = vols * density
+    m = masses.sum()
+    com = (masses[:, None] * centers).sum(0) / m
+    c = centers - com
+    I = np.zeros((3, 3))
+    for ci, ri, mi in zip(c, radii, masses):
+        I += 2.0 / 5.0 * mi * ri**2 * np.eye(3)
+        I += mi * (np.dot(ci, ci) * np.eye(3) - np.outer(ci, ci))
+    evals, evecs = np.linalg.eigh(I)
+    # rotate centers into principal frame
+    c_p = c @ evecs
+    return m, com, evals, evecs, c_p
+
+
+class ObjectLibrary:
+    """Dense arrays of all object geometry; build once, ship to device."""
+
+    def __init__(self, spheres_per_object=8, seed=20260816):
+        S = spheres_per_object
+        T = NUM_WOODEN + NUM_RANDOM
+        self.num_types = T
+        self.spheres_per_object = S
+        centers = np.zeros((T, S, 3), np.float32)
+        radii = np.zeros((T, S), np.float32)
+        mass = np.zeros(T, np.float32)
+        inv_inertia = np.zeros((T, 3), np.float32)
+        color = np.zeros((T, 3), np.float32)
+
+        rng = np.random.default_rng(seed)
+        for t in range(T):
+            if t < NUM_WOODEN:
+                c, r = _block_geometry(WOODEN_BLOCK_NAMES[t], S)
+                density = WOOD_DENSITY
+                col = np.array([0.1, 0.5, 0.8]) if t == 1 else rng.uniform(0.3, 0.9, 3)
+            else:
+                c, r = _random_object_geometry(rng, S)
+                density = rng.uniform(300.0, 900.0)
+                col = rng.uniform(0.2, 0.95, 3)
+            c = c[:S]
+            r = r[:S]
+            m, com, evals, evecs, c_p = _compound_mass_inertia(c, r, density)
+            n = len(r)
+            centers[t, :n] = c_p
+            radii[t, :n] = r
+            mass[t] = m
+            inv_inertia[t] = 1.0 / np.maximum(evals, 1e-9)
+            color[t] = col
+
+        self.centers = centers
+        self.radii = radii
+        self.mass = mass
+        self.inv_mass = (1.0 / np.maximum(mass, 1e-9)).astype(np.float32)
+        self.inv_inertia = inv_inertia
+        self.color = color
+        # Max distance from COM to sphere surface: used for settled placement.
+        self.bound_radius = (np.linalg.norm(centers, axis=-1) + radii).max(-1).astype(np.float32)
+
+    # Dataset splits (reference base_scene.py:32-43); ids offset by NUM_WOODEN.
+    def random_urdf_ids(self, test=False, validate=False):
+        if validate:
+            lo, hi = 700, 850
+        elif test:
+            lo, hi = 850, 1000
+        else:
+            lo, hi = 0, 700
+        return np.arange(NUM_WOODEN + lo, NUM_WOODEN + hi)
+
+    def wooden_block_ids(self):
+        return np.arange(0, NUM_WOODEN)
+
+
+@functools.lru_cache(maxsize=4)
+def get_library(spheres_per_object=8, seed=20260816):
+    return ObjectLibrary(spheres_per_object, seed)

@@ -1,0 +1,455 @@
+"""Batched impulse-based rigid-body physics for the flying-gripper grasp world.
+
+TPU-native replacement for the Bullet engine the reference drives through
+pybullet (reference: simulation/simulation.py:37-75 — dt = 1/240, 150 solver
+iterations, cone friction, gravity -9.81; model.py:69-74 — position-servo
+joint motors with 100 N force cap).
+
+Design (single env; the env layer `vmap`s everything):
+
+* Gripper: reduced coordinates q = [x, y, z, yaw, f_l, f_r] with per-DOF
+  force-capped position servos (time-optimal velocity profile), replacing the
+  SDF's virtual world joints + POSITION_CONTROL motors.
+* Objects: free 6-DoF rigid bodies whose collision shape is a sphere compound
+  from the ObjectLibrary.
+* Contacts: sphere-vs-plane, sphere-vs-finger-pad (OBB), sphere-vs-sphere,
+  and optional tray walls — all fixed-size masked arrays, no data-dependent
+  shapes, so the whole substep compiles to one fused XLA program.
+* Solver: projected Jacobi iterations (block PGS with under-relaxation) on
+  normal + 2 friction directions with Baumgarte stabilization and a friction
+  cone clamp. Jacobi (not Gauss-Seidel) keeps every contact update data
+  parallel on the VPU; the relaxation factor trades convergence speed for
+  parallelism. The grasp-critical behavior — fingers stalling on a squeezed
+  object (robot.py:295-297's detection) and friction carrying the object
+  while lifting — emerges from the capped finger servo re-applying force each
+  substep against unbounded normal impulses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+from deep_rl_grasping_tpu.sim.types import (
+    FINGER_LIMIT_HIGH,
+    FINGER_LIMIT_LOW,
+    PAD_CENTER_DEPTH,
+    PAD_HALF_EXTENTS,
+    PAD_X_OFFSET,
+    GripperState,
+    ObjectState,
+    SimParams,
+    SimState,
+)
+
+_EZ = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+
+def yaw_rotation(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [jnp.stack([c, -s, z], -1), jnp.stack([s, c, z], -1), jnp.stack([z, z, o], -1)],
+        -2,
+    )
+
+
+def quat_to_matrix(q):
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        -1,
+    )
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def world_spheres(state: SimState, params: SimParams):
+    """World-space sphere centers/radii/mask for all object slots.
+
+    Returns centers (K, S, 3), radii (K, S), mask (K, S).
+    """
+    obj = state.objects
+    R = quat_to_matrix(obj.quat)  # (K,3,3)
+    local = params.centers[obj.obj_type]  # (K,S,3)
+    centers = obj.pos[:, None, :] + _einsum("kij,ksj->ksi", R, local)
+    radii = params.radii[obj.obj_type]  # (K,S)
+    mask = (radii > 0.0) & obj.alive[:, None]
+    return centers, radii, mask
+
+
+def pad_frames(q):
+    """Finger pad centers, rotation, and drive axes in world frame.
+
+    The gripper base link is at (x, y, z) with the hand pointing down
+    (model spawned with roll=pi, robot.py:59); pads sit PAD_CENTER_DEPTH
+    below the base, offset +-(PAD_X_OFFSET - f) along the gripper's local
+    x axis (WSG-50 SDF finger links at x=+-0.062 with prismatic travel f).
+    """
+    base = q[:3]
+    yaw = q[3]
+    R = yaw_rotation(yaw)
+    ex = R[:, 0]
+    f_l, f_r = q[4], q[5]
+    c_l = base - ex * (PAD_X_OFFSET - f_l) - _EZ * PAD_CENTER_DEPTH
+    c_r = base + ex * (PAD_X_OFFSET - f_r) - _EZ * PAD_CENTER_DEPTH
+    # Drive axes: direction the pad moves as the finger coordinate increases.
+    axis_l = ex
+    axis_r = -ex
+    return base, R, jnp.stack([c_l, c_r]), jnp.stack([axis_l, axis_r])
+
+
+def _sphere_box_contact(center, radius, box_center, box_R, half_extents):
+    """Closest-point contact between a sphere and an OBB.
+
+    Returns (normal pointing box->sphere, penetration >= 0 when touching,
+    contact point, touching flag).
+    """
+    d = center - box_center
+    local = _einsum("ji,j->i", box_R, d)
+    he = jnp.asarray(half_extents, jnp.float32)
+    clamped = jnp.clip(local, -he, he)
+    delta = local - clamped
+    dist = jnp.linalg.norm(delta)
+    outside = dist > 1e-9
+    # Outside: normal from surface point to center. Inside: push along the
+    # axis of least penetration.
+    n_out = jnp.where(outside, delta / jnp.maximum(dist, 1e-9), 0.0)
+    depth_axes = he - jnp.abs(local)
+    ax = jnp.argmin(depth_axes)
+    sign = jnp.sign(local[ax]) + (local[ax] == 0.0)
+    n_in = jax.nn.one_hot(ax, 3) * sign
+    n_local = jnp.where(outside, n_out, n_in)
+    pen = jnp.where(outside, radius - dist, radius + depth_axes[ax])
+    n_world = _einsum("ij,j->i", box_R, n_local)
+    point = center - n_world * radius
+    return n_world, pen, point, pen > 0.0
+
+
+def _tangent_basis(n):
+    a = jnp.where(jnp.abs(n[..., 0:1]) < 0.9, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    t1 = jnp.cross(n, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _collect_contacts(state: SimState, params: SimParams):
+    """Build fixed-size contact arrays.
+
+    Every potential contact slot is emitted with an `active` mask; shapes are
+    static functions of (K objects, S spheres).
+    Fields: point (N,3), normal b->a (N,3), pen (N,), ia (N,), b_kind (N,)
+    [0 static, 1 left pad, 2 right pad, 3 object], ib (N,), active (N,).
+    """
+    centers, radii, smask = world_spheres(state, params)  # (K,S,..)
+    K, S = radii.shape
+    base, Rg, pads, axes = pad_frames(state.gripper.q)
+
+    pts, nrms, pens, ias, bkinds, ibs, acts = [], [], [], [], [], [], []
+
+    flat_c = centers.reshape(K * S, 3)
+    flat_r = radii.reshape(K * S)
+    flat_m = smask.reshape(K * S)
+    flat_ia = jnp.repeat(jnp.arange(K), S)
+
+    # --- sphere vs support plane ---
+    pen_p = params.support_z - (flat_c[:, 2] - flat_r)
+    n_p = jnp.broadcast_to(_EZ, (K * S, 3))
+    pt_p = flat_c - flat_r[:, None] * n_p
+    pts.append(pt_p); nrms.append(n_p); pens.append(pen_p)
+    ias.append(flat_ia); bkinds.append(jnp.zeros(K * S, jnp.int32))
+    ibs.append(jnp.zeros(K * S, jnp.int32)); acts.append(flat_m & (pen_p > 0))
+
+    # --- sphere vs finger pads ---
+    for pad_idx in range(2):
+        n_b, pen_b, pt_b, touch = jax.vmap(
+            lambda c, r: _sphere_box_contact(c, r, pads[pad_idx], Rg, PAD_HALF_EXTENTS)
+        )(flat_c, flat_r)
+        pts.append(pt_b); nrms.append(n_b); pens.append(pen_b)
+        ias.append(flat_ia)
+        bkinds.append(jnp.full(K * S, pad_idx + 1, jnp.int32))
+        ibs.append(jnp.zeros(K * S, jnp.int32))
+        acts.append(flat_m & touch)
+
+    # --- sphere vs sphere (object pairs i < j) ---
+    if K > 1:
+        ii, jj = jnp.triu_indices(K, k=1)
+        # (P, S, S) pairwise between object ii's spheres and jj's spheres
+        ci = centers[ii][:, :, None, :]  # (P,S,1,3)
+        cj = centers[jj][:, None, :, :]  # (P,1,S,3)
+        d = ci - cj
+        dist = jnp.linalg.norm(d, axis=-1)  # (P,S,S)
+        rsum = radii[ii][:, :, None] + radii[jj][:, None, :]
+        pen_ss = rsum - dist
+        n_ss = d / jnp.maximum(dist, 1e-9)[..., None]  # from j to i
+        pt_ss = cj + n_ss * (radii[jj][:, None, :, None] + 0.5 * (dist - rsum)[..., None] + 0.0)
+        m_ss = smask[ii][:, :, None] & smask[jj][:, None, :]
+        P = ii.shape[0]
+        pts.append(pt_ss.reshape(P * S * S, 3))
+        nrms.append(n_ss.reshape(P * S * S, 3))
+        pens.append(pen_ss.reshape(P * S * S))
+        ias.append(jnp.repeat(ii, S * S))
+        bkinds.append(jnp.full(P * S * S, 3, jnp.int32))
+        ibs.append(jnp.repeat(jj, S * S))
+        acts.append((m_ss & (pen_ss > 0)).reshape(P * S * S))
+
+    # --- sphere vs tray walls (4 static OBBs) ---
+    if params.has_tray:
+        th = params.tray_half
+        wh = params.tray_wall_height
+        wall_c = jnp.array(
+            [
+                [th + 0.02, 0.0, 0.0],
+                [-(th + 0.02), 0.0, 0.0],
+                [0.0, th + 0.02, 0.0],
+                [0.0, -(th + 0.02), 0.0],
+            ],
+            jnp.float32,
+        ) + jnp.array([0.0, 0.0, params.support_z + wh * 0.5])[None]
+        wall_he = jnp.array(
+            [
+                [0.02, th + 0.04, wh * 0.5],
+                [0.02, th + 0.04, wh * 0.5],
+                [th + 0.04, 0.02, wh * 0.5],
+                [th + 0.04, 0.02, wh * 0.5],
+            ],
+            jnp.float32,
+        )
+        eye = jnp.eye(3, dtype=jnp.float32)
+        for w in range(4):
+            n_w, pen_w, pt_w, touch_w = jax.vmap(
+                lambda c, r, w=w: _sphere_box_contact(c, r, wall_c[w], eye, wall_he[w])
+            )(flat_c, flat_r)
+            pts.append(pt_w); nrms.append(n_w); pens.append(pen_w)
+            ias.append(flat_ia)
+            bkinds.append(jnp.zeros(K * S, jnp.int32))
+            ibs.append(jnp.zeros(K * S, jnp.int32))
+            acts.append(flat_m & touch_w)
+
+    return dict(
+        point=jnp.concatenate(pts),
+        normal=jnp.concatenate(nrms),
+        pen=jnp.concatenate(pens),
+        ia=jnp.concatenate(ias),
+        b_kind=jnp.concatenate(bkinds),
+        ib=jnp.concatenate(ibs),
+        active=jnp.concatenate(acts),
+    )
+
+
+def _gripper_jacobian(contacts, base, axes):
+    """G (N, 6, 3): per-DOF world-velocity contribution at each contact point
+    for contacts whose b side is a finger pad (zeroed otherwise)."""
+    N = contacts["point"].shape[0]
+    p = contacts["point"]
+    is_l = (contacts["b_kind"] == 1)[:, None]
+    is_r = (contacts["b_kind"] == 2)[:, None]
+    is_pad = is_l | is_r
+    r = p - base[None]
+    g_x = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (N, 3))
+    g_y = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (N, 3))
+    g_z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3))
+    g_yaw = jnp.cross(jnp.broadcast_to(_EZ, (N, 3)), r)
+    g_fl = jnp.where(is_l, axes[0][None], 0.0)
+    g_fr = jnp.where(is_r, axes[1][None], 0.0)
+    pad_mask = is_pad.astype(jnp.float32)
+    G = jnp.stack(
+        [g_x * pad_mask, g_y * pad_mask, g_z * pad_mask, g_yaw * pad_mask, g_fl, g_fr],
+        axis=1,
+    )
+    return G
+
+
+def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world):
+    """Projected Jacobi impulse solver. Returns updated (V, W, qd)."""
+    K = V.shape[0]
+    N = contacts["point"].shape[0]
+    n = contacts["normal"]
+    p = contacts["point"]
+    ia = contacts["ia"]
+    ib = contacts["ib"]
+    is_obj_b = contacts["b_kind"] == 3
+    active = contacts["active"]
+    actf = active.astype(jnp.float32)
+
+    base, Rg, pads, axes = pad_frames(state.gripper.q)
+    G = _gripper_jacobian(contacts, base, axes)  # (N,6,3)
+
+    t1, t2 = _tangent_basis(n)
+    dirs = jnp.stack([n, t1, t2], axis=1)  # (N,3dirs,3)
+
+    r_a = p - state.objects.pos[ia]
+    r_b = p - state.objects.pos[ib]
+    inv_m_a = params.inv_mass[state.objects.obj_type][ia]
+    inv_m_b = params.inv_mass[state.objects.obj_type][ib] * is_obj_b
+    iI_a = inv_I_world[ia]  # (N,3,3)
+    iI_b = inv_I_world[ib]
+
+    inv_dof_mass = 1.0 / params.dof_mass  # (6,)
+
+    def w_dir(d):
+        ra_x_d = jnp.cross(r_a, d)
+        rb_x_d = jnp.cross(r_b, d)
+        w = inv_m_a + _einsum("ni,nij,nj->n", ra_x_d, iI_a, ra_x_d)
+        w = w + (inv_m_b + _einsum("ni,nij,nj->n", rb_x_d, iI_b, rb_x_d)) * is_obj_b
+        Jg = _einsum("ngi,ni->ng", G, d)  # (N,6)
+        w = w + _einsum("ng,g->n", Jg * Jg, inv_dof_mass)
+        return jnp.maximum(w, 1e-9)
+
+    w_n = w_dir(n)
+    w_t1 = w_dir(t1)
+    w_t2 = w_dir(t2)
+
+    bias = params.baumgarte / params.dt * jnp.maximum(contacts["pen"] - params.slop, 0.0)
+    mu = params.friction
+    omega = params.relaxation
+
+    def rel_vel(V, W, qd):
+        v_a = V[ia] + jnp.cross(W[ia], r_a)
+        v_b_obj = (V[ib] + jnp.cross(W[ib], r_b)) * is_obj_b[:, None]
+        v_b_pad = _einsum("ngi,g->ni", G, qd)
+        return v_a - v_b_obj - v_b_pad
+
+    def apply_impulse(V, W, qd, P):
+        """Apply world impulses P (N,3): +P to object a, -P to b."""
+        Pm = P * actf[:, None]
+        dV_a = Pm * inv_m_a[:, None]
+        dW_a = _einsum("nij,nj->ni", iI_a, jnp.cross(r_a, Pm))
+        V = V + jax.ops.segment_sum(dV_a, ia, num_segments=K)
+        W = W + jax.ops.segment_sum(dW_a, ia, num_segments=K)
+        Pb = Pm * is_obj_b[:, None]
+        dV_b = Pb * inv_m_b[:, None]
+        dW_b = _einsum("nij,nj->ni", iI_b, jnp.cross(r_b, Pb))
+        V = V - jax.ops.segment_sum(dV_b, ib, num_segments=K)
+        W = W - jax.ops.segment_sum(dW_b, ib, num_segments=K)
+        dqd = -_einsum("ngi,ni->ng", G, Pm) * inv_dof_mass[None]
+        qd = qd + dqd.sum(0)
+        return V, W, qd
+
+    def iteration(carry, _):
+        V, W, qd, lam_n, lam_t1, lam_t2 = carry
+        v = rel_vel(V, W, qd)
+        # Normal
+        v_n = _einsum("ni,ni->n", v, n)
+        dl_n = (bias - v_n) / w_n * omega
+        lam_n_new = jnp.maximum(lam_n + dl_n, 0.0)
+        dl_n = lam_n_new - lam_n
+        # Friction (clamped to cone of the *updated* normal impulse)
+        v_t1 = _einsum("ni,ni->n", v, t1)
+        v_t2 = _einsum("ni,ni->n", v, t2)
+        lt1 = lam_t1 - v_t1 / w_t1 * omega
+        lt2 = lam_t2 - v_t2 / w_t2 * omega
+        t_norm = jnp.sqrt(lt1**2 + lt2**2)
+        scale = jnp.minimum(1.0, mu * lam_n_new / jnp.maximum(t_norm, 1e-9))
+        lt1 = lt1 * scale
+        lt2 = lt2 * scale
+        dl_t1 = lt1 - lam_t1
+        dl_t2 = lt2 - lam_t2
+        P = dl_n[:, None] * n + dl_t1[:, None] * t1 + dl_t2[:, None] * t2
+        V, W, qd = apply_impulse(V, W, qd, P)
+        return (V, W, qd, lam_n_new, lt1, lt2), None
+
+    lam0 = jnp.zeros(N)
+    (V, W, qd, _, _, _), _ = jax.lax.scan(
+        iteration, (V, W, qd, lam0, lam0, lam0), None, length=params.solver_iterations
+    )
+    return V, W, qd
+
+
+def _servo_qd(q, qd, target, finger_target, params):
+    """Force-capped position servo per DOF (time-optimal velocity profile).
+
+    Mirrors Bullet POSITION_CONTROL with max force (model.py:69-74): drive at
+    the largest velocity that can still brake to rest at the target given the
+    force cap, limited per-substep by the cap itself.
+    """
+    full_target = jnp.concatenate([target, jnp.array([finger_target, finger_target])])
+    err = full_target - q
+    a_max = params.dof_force / params.dof_mass
+    dv_max = a_max * params.dt
+    v_stop = jnp.sqrt(2.0 * a_max * jnp.abs(err))
+    v_des = jnp.sign(err) * jnp.minimum(jnp.abs(err) / params.dt, v_stop)
+    return qd + jnp.clip(v_des - qd, -dv_max, dv_max)
+
+
+def substep(state: SimState, params: SimParams) -> SimState:
+    g = state.gripper
+    obj = state.objects
+    dt = params.dt
+
+    # 1. Free-velocity update: gravity + damping + servos.
+    qd = g.qd.at[2].add(params.gravity * dt)  # gravity on the z DOF subtree
+    qd = _servo_qd(g.q, qd, g.target, g.finger_target, params)
+
+    V = obj.linvel + _EZ * (params.gravity * dt)
+    V = V * (1.0 - params.lin_damping * dt)
+    W = obj.angvel * (1.0 - params.ang_damping * dt)
+
+    # 2. Contacts + impulse solve.
+    R = quat_to_matrix(obj.quat)
+    inv_I_world = _einsum(
+        "kij,kj,klj->kil", R, params.inv_inertia[obj.obj_type], R
+    )
+    contacts = _collect_contacts(state, params)
+    V, W, qd = _solve_contacts(state, params, contacts, V, W, qd, inv_I_world)
+
+    # 3. Integrate.
+    alive_f = obj.alive[:, None].astype(jnp.float32)
+    V = jnp.clip(V, -4.0, 4.0) * alive_f
+    W = jnp.clip(W, -50.0, 50.0) * alive_f
+    pos = obj.pos + V * dt
+    dq = jnp.concatenate([W, jnp.zeros((W.shape[0], 1))], axis=-1)
+    # quat update: q' = q + dt/2 * omega_quat * q  ([x,y,z,w] convention)
+    ow = dq[:, :3]
+    qv = obj.quat[:, :3]
+    qw = obj.quat[:, 3:4]
+    dquat = jnp.concatenate(
+        [qw * ow + jnp.cross(ow, qv), -jnp.sum(ow * qv, -1, keepdims=True)], -1
+    )
+    quat = obj.quat + 0.5 * dt * dquat
+    quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-9)
+
+    q = g.q + qd * dt
+    # Finger limits (SDF: [-0.01, 0.05]); zero velocity at the stops.
+    f = jnp.clip(q[4:6], FINGER_LIMIT_LOW, FINGER_LIMIT_HIGH)
+    qd = qd.at[4:6].set(jnp.where(f != q[4:6], 0.0, qd[4:6]))
+    q = q.at[4:6].set(f)
+
+    return SimState(
+        gripper=GripperState(
+            q=q, qd=qd, target=g.target, finger_target=g.finger_target,
+            gripper_close=g.gripper_close, ee_angle=g.ee_angle,
+        ),
+        objects=ObjectState(
+            pos=pos, quat=quat, linvel=V, angvel=W,
+            obj_type=obj.obj_type, alive=obj.alive,
+        ),
+    )
+
+
+def run(state: SimState, params: SimParams, n_substeps: int) -> SimState:
+    """Advance the world `n_substeps` x dt (reference World.run, simulation.py:49)."""
+    def body(s, _):
+        return substep(s, params), None
+    state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+    return state
+
+
+FINGER_CLOSED_WIDTH = 0.05
+
+
+def gripper_width(q):
+    """Opening width, reference formula (robot.py:279-284)."""
+    return (FINGER_CLOSED_WIDTH - q[4]) + (FINGER_CLOSED_WIDTH - q[5])

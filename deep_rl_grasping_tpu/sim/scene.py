@@ -1,0 +1,113 @@
+"""On-device scene sampling: the TPU replacement for URDF-reload resets.
+
+Reference behavior (simulation/scene.py:8-59, base_scene.py:7-47): every
+episode reset reloads plane/table/tray URDFs, samples 1-6 objects from the
+configured dataset, drops each from z=0.1 with 0.4 s of settling per object
+plus 1 s at the end (~800 Bullet substeps per reset).
+
+TPU redesign: object types are indices into the ObjectLibrary; poses are
+sampled directly in a *near-settled* configuration — uniform xy in the
+curriculum extent, uniform random orientation, z chosen so the compound's
+lowest sphere touches the support surface — followed by a short settle run.
+This keeps auto-reset inside the jitted step cheap (no host, no asset IO) and
+preserves the reference's object distribution (positions/orientations/counts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deep_rl_grasping_tpu.sim import physics
+from deep_rl_grasping_tpu.sim.types import (
+    FINGER_OPEN,
+    GripperState,
+    ObjectState,
+    SimParams,
+    SimState,
+)
+from deep_rl_grasping_tpu.utils import transforms
+
+
+def sample_objects(
+    key,
+    params: SimParams,
+    type_ids: jnp.ndarray,
+    max_slots: int,
+    min_objects,
+    max_objects,
+    extent,
+) -> ObjectState:
+    """Sample object slots for one env.
+
+    type_ids: (M,) candidate library ids (dataset split, base_scene.py:32-43).
+    min/max_objects, extent: scalars (may be traced — curriculum-dependent).
+    """
+    k_n, k_t, k_xy, k_q, k_z = jax.random.split(key, 5)
+    n = jax.random.randint(k_n, (), min_objects, max_objects + 1)
+    alive = jnp.arange(max_slots) < n
+    t_idx = jax.random.randint(k_t, (max_slots,), 0, type_ids.shape[0])
+    obj_type = type_ids[t_idx].astype(jnp.int32)
+    xy = jax.random.uniform(k_xy, (max_slots, 2), minval=-extent, maxval=extent)
+    quat = transforms.random_quaternion(jax.random.uniform(k_q, (max_slots, 3)))
+    # Rest height: lowest sphere point touches the support surface.
+    R = physics.quat_to_matrix(quat)  # (K,3,3)
+    local = params.centers[obj_type]  # (K,S,3)
+    radii = params.radii[obj_type]  # (K,S)
+    world_z = jnp.einsum("kij,ksj->ksi", R, local)[..., 2]
+    smask = radii > 0.0
+    lowest = jnp.min(jnp.where(smask, world_z - radii, jnp.inf), axis=-1)
+    # Tiny stagger so initially-overlapping objects separate during settling.
+    z_jitter = jax.random.uniform(k_z, (max_slots,), minval=0.0, maxval=0.005)
+    z = params.support_z - lowest + 1e-4 + z_jitter
+    pos = jnp.concatenate([xy, z[:, None]], axis=-1)
+    zeros3 = jnp.zeros((max_slots, 3))
+    return ObjectState(
+        pos=pos, quat=quat, linvel=zeros3, angvel=zeros3,
+        obj_type=obj_type, alive=alive,
+    )
+
+
+def init_gripper(initial_height) -> GripperState:
+    """Gripper spawned at (0, 0, h), yaw 0, fingers open (robot.py:124-136)."""
+    q = jnp.array([0.0, 0.0, 0.0, 0.0, FINGER_OPEN, FINGER_OPEN])
+    q = q.at[2].set(initial_height)
+    target = q[:4]
+    return GripperState(
+        q=q,
+        qd=jnp.zeros(6),
+        target=target,
+        finger_target=jnp.asarray(FINGER_OPEN),
+        gripper_close=jnp.asarray(False),
+        ee_angle=jnp.asarray(0.0),
+    )
+
+
+def reset_scene(
+    key,
+    params: SimParams,
+    type_ids: jnp.ndarray,
+    max_slots: int,
+    min_objects,
+    max_objects,
+    extent,
+    initial_height,
+    settle_substeps: int = 48,
+) -> SimState:
+    """Fresh episode state: sampled objects + short settle + gripper spawn."""
+    objects = sample_objects(
+        key, params, type_ids, max_slots, min_objects, max_objects, extent
+    )
+    # Settle with the gripper parked far above so it cannot interfere.
+    parked = init_gripper(1.0)
+    state = SimState(gripper=parked, objects=objects)
+    if settle_substeps > 0:
+        state = physics.run(state, params, settle_substeps)
+    state = SimState(
+        gripper=init_gripper(initial_height),
+        objects=state.objects.replace(
+            linvel=jnp.zeros_like(state.objects.linvel),
+            angvel=jnp.zeros_like(state.objects.angvel),
+        ),
+    )
+    return state

@@ -1,0 +1,111 @@
+"""State and parameter pytrees for the batched rigid-body world.
+
+The reference keeps simulation state inside the Bullet C++ engine and crosses
+the FFI boundary per query (simulation/model.py, simulation/simulation.py).
+Here the whole world is a JAX pytree living in HBM; one env's state is a set
+of small arrays and a batch of envs is the same pytree with a leading axis
+added by `vmap`.
+
+Gripper model (reference: models/gripper/wsg50_one_motor_gripper_new.sdf,
+flying WSG-50): reduced coordinates q = [x, y, z, yaw, f_left, f_right].
+The virtual world prismatic/revolute joints of the SDF collapse into the
+world-frame pose DOFs; the two finger prismatic joints keep the SDF's
+[-0.01, 0.05] limits and the `width = (0.05-f_l)+(0.05-f_r)` convention
+(robot.py:279-284).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+# Finger joint geometry (from the WSG-50 SDF link poses):
+FINGER_LIMIT_LOW = -0.01
+FINGER_LIMIT_HIGH = 0.05
+FINGER_OPEN = 0.0
+FINGER_CLOSED = 0.05
+# Finger link origin offset from gripper base along local x (SDF: +-0.062),
+# pad box half extents, and pad center depth below the base.
+PAD_X_OFFSET = 0.062
+PAD_HALF_EXTENTS = (0.010, 0.010, 0.075)
+PAD_CENTER_DEPTH = 0.187  # pads span [0.112, 0.262] below the base link
+# Gripper body box (for rendering/visibility): base housing above the fingers.
+BASE_HALF_EXTENTS = (0.025, 0.025, 0.055)
+BASE_CENTER_DEPTH = 0.055
+
+
+@struct.dataclass
+class GripperState:
+    q: jnp.ndarray        # (6,) [x, y, z, yaw, f_l, f_r]
+    qd: jnp.ndarray       # (6,)
+    target: jnp.ndarray   # (4,) servo targets for x, y, z, yaw
+    finger_target: jnp.ndarray  # () scalar: FINGER_OPEN or FINGER_CLOSED
+    gripper_close: jnp.ndarray  # () bool latch (actuator.py _gripper_open inverse)
+    ee_angle: jnp.ndarray       # () accumulated endEffectorAngle (robot.py:258)
+
+
+@struct.dataclass
+class ObjectState:
+    pos: jnp.ndarray      # (K, 3) COM position, world
+    quat: jnp.ndarray     # (K, 4) [x,y,z,w]
+    linvel: jnp.ndarray   # (K, 3)
+    angvel: jnp.ndarray   # (K, 3) world frame
+    obj_type: jnp.ndarray  # (K,) int32 index into ObjectLibrary
+    alive: jnp.ndarray    # (K,) bool
+
+
+@struct.dataclass
+class SimState:
+    gripper: GripperState
+    objects: ObjectState
+
+
+@struct.dataclass
+class SimParams:
+    """Static physics parameters (one copy, closed over by jit)."""
+    dt: float = struct.field(pytree_node=False, default=1.0 / 240.0)
+    solver_iterations: int = struct.field(pytree_node=False, default=8)
+    # Support surface height: tray floor (OnTable, tray placed at -0.19,
+    # scene.py:19-20) or plane (OnFloor, -0.196, scene.py:39).
+    support_z: float = 0.0
+    has_tray: bool = struct.field(pytree_node=False, default=False)
+    # Tray inner half-size and wall parameters (pybullet tray.urdf, 1.2 scale)
+    tray_half: float = 0.21
+    tray_wall_height: float = 0.062
+    friction: float = 1.0
+    baumgarte: float = 0.2
+    slop: float = 1e-4
+    relaxation: float = 0.35
+    gravity: float = -9.81
+    lin_damping: float = 0.04
+    ang_damping: float = 0.04
+    # Gripper effective masses per DOF [x, y, z, yaw(inertia), f_l, f_r]
+    dof_mass: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([6.0, 6.0, 6.0, 0.1, 0.4, 0.4], jnp.float32)
+    )
+    # Servo force caps (reference model.py:69-74 uses force=100 everywhere)
+    dof_force: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([100.0, 100.0, 100.0, 20.0, 100.0, 100.0], jnp.float32)
+    )
+    # Object library (dense arrays, set at build time)
+    centers: jnp.ndarray = None     # (T, S, 3)
+    radii: jnp.ndarray = None       # (T, S)
+    inv_mass: jnp.ndarray = None    # (T,)
+    inv_inertia: jnp.ndarray = None  # (T, 3) principal, body frame
+    color: jnp.ndarray = None       # (T, 3)
+    bound_radius: jnp.ndarray = None  # (T,)
+
+
+def make_sim_params(library, scene_type="OnTable", **overrides):
+    support_z = -0.19 if scene_type == "OnTable" else -0.196
+    return SimParams(
+        support_z=support_z,
+        has_tray=(scene_type == "OnTable"),
+        centers=jnp.asarray(library.centers),
+        radii=jnp.asarray(library.radii),
+        inv_mass=jnp.asarray(library.inv_mass),
+        inv_inertia=jnp.asarray(library.inv_inertia),
+        color=jnp.asarray(library.color),
+        bound_radius=jnp.asarray(library.bound_radius),
+        **overrides,
+    )
