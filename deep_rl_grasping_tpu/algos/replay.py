@@ -1,0 +1,134 @@
+"""HBM-resident replay buffers (uniform + prioritized).
+
+Replaces stable-baselines' host-side ReplayBuffer / PrioritizedReplayBuffer
+(used via sb_helper.py:120-173). The buffer is a pytree of device arrays and
+insert/sample are pure functions, so the whole collect->store->sample->update
+loop stays on-chip.
+
+Memory layout: observations are stored ONCE in a ring (bfloat16 by default —
+a 64x64x2 depth obs frame is 16 KB); the "next obs" of transition t is the
+frame written one batch-stride later. For terminal transitions that frame
+belongs to the auto-reset episode, which is exactly the frame the learner
+must NOT bootstrap from — and it doesn't, because targets are masked by
+`done`. This halves HBM versus storing (obs, next_obs) pairs.
+
+Prioritized replay (DQN/BDQ, schaul'15): instead of a host-side sum tree
+(inherently serial), priorities live in a dense array and sampling uses the
+Gumbel-top-k trick over log-priorities — an O(N) parallel argmax-k that maps
+cleanly onto the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayBuffer:
+    obs: jnp.ndarray        # (C, *obs_shape) storage dtype
+    action: jnp.ndarray     # (C, *act_shape)
+    reward: jnp.ndarray     # (C,) f32
+    done: jnp.ndarray       # (C,) bool
+    priority: jnp.ndarray   # (C,) f32 (1.0 when uniform)
+    ptr: jnp.ndarray        # () int32 next write slot
+    size: jnp.ndarray       # () int32 frames written (saturates at C)
+    batch_stride: int = struct.field(pytree_node=False)
+    capacity: int = struct.field(pytree_node=False)
+
+
+def create(capacity, obs_shape, action_shape, batch_stride,
+           obs_dtype=jnp.bfloat16, action_dtype=jnp.float32):
+    """capacity is rounded down to a multiple of the per-step insert width."""
+    capacity = (capacity // batch_stride) * batch_stride
+    return ReplayBuffer(
+        obs=jnp.zeros((capacity,) + tuple(obs_shape), obs_dtype),
+        action=jnp.zeros((capacity,) + tuple(action_shape), action_dtype),
+        reward=jnp.zeros((capacity,), jnp.float32),
+        done=jnp.zeros((capacity,), bool),
+        priority=jnp.ones((capacity,), jnp.float32),
+        ptr=jnp.asarray(0, jnp.int32),
+        size=jnp.asarray(0, jnp.int32),
+        batch_stride=batch_stride,
+        capacity=capacity,
+    )
+
+
+def insert(buf: ReplayBuffer, obs, action, reward, done):
+    """Insert one env-batch of transitions (B = batch_stride rows)."""
+    B = buf.batch_stride
+    idx = (buf.ptr + jnp.arange(B)) % buf.capacity
+    max_p = jnp.max(buf.priority) * (buf.size > 0) + (buf.size == 0) * 1.0
+    return buf.replace(
+        obs=buf.obs.at[idx].set(obs.astype(buf.obs.dtype)),
+        action=buf.action.at[idx].set(action.astype(buf.action.dtype)),
+        reward=buf.reward.at[idx].set(reward),
+        done=buf.done.at[idx].set(done),
+        priority=buf.priority.at[idx].set(max_p),
+        ptr=(buf.ptr + B) % buf.capacity,
+        size=jnp.minimum(buf.size + B, buf.capacity),
+    )
+
+
+def _valid_range(buf: ReplayBuffer):
+    """Sampleable frames: written AND with their successor frame written
+    (the most recent batch has no successor yet)."""
+    return jnp.maximum(buf.size - buf.batch_stride, 0)
+
+
+def sample(buf: ReplayBuffer, key, batch_size):
+    """Uniform sample of transitions. Returns dict incl. obs/next_obs."""
+    n = _valid_range(buf)
+    # Order slots oldest-first: slot i of the window maps to ring index
+    # (ptr - size + i) mod C, which is valid for i < n.
+    offs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(n, 1))
+    idx = (buf.ptr - buf.size + offs) % buf.capacity
+    nxt = (idx + buf.batch_stride) % buf.capacity
+    return dict(
+        obs=buf.obs[idx].astype(jnp.float32),
+        action=buf.action[idx],
+        reward=buf.reward[idx],
+        done=buf.done[idx],
+        next_obs=buf.obs[nxt].astype(jnp.float32),
+        idx=idx,
+        weight=jnp.ones((batch_size,), jnp.float32),
+    )
+
+
+def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
+    """Proportional prioritized sampling via Gumbel-top-k over
+    alpha-scaled log priorities, with importance weights."""
+    n = _valid_range(buf)
+    slots = jnp.arange(buf.capacity)
+    idx_ring = (buf.ptr - buf.size + slots) % buf.capacity
+    valid = slots < n
+    logits = alpha * jnp.log(jnp.maximum(buf.priority[idx_ring], 1e-12))
+    logits = jnp.where(valid, logits, -jnp.inf)
+    g = jax.random.gumbel(key, (buf.capacity,))
+    _, top = jax.lax.top_k(logits + g, batch_size)
+    idx = idx_ring[top]
+    nxt = (idx + buf.batch_stride) % buf.capacity
+    # Importance weights: w = (N * P(i))^-beta / max w
+    p = jnp.maximum(buf.priority[idx], 1e-12) ** alpha
+    z = jnp.sum(
+        jnp.where(valid, jnp.maximum(buf.priority[idx_ring], 1e-12) ** alpha, 0.0)
+    )
+    probs = p / jnp.maximum(z, 1e-12)
+    w = (jnp.maximum(n, 1).astype(jnp.float32) * probs) ** (-beta)
+    w = w / jnp.maximum(jnp.max(w), 1e-12)
+    return dict(
+        obs=buf.obs[idx].astype(jnp.float32),
+        action=buf.action[idx],
+        reward=buf.reward[idx],
+        done=buf.done[idx],
+        next_obs=buf.obs[nxt].astype(jnp.float32),
+        idx=idx,
+        weight=w,
+    )
+
+
+def update_priorities(buf: ReplayBuffer, idx, td_errors, eps=1e-6):
+    return buf.replace(
+        priority=buf.priority.at[idx].set(jnp.abs(td_errors) + eps)
+    )

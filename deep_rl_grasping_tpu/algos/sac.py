@@ -1,0 +1,184 @@
+"""Soft Actor-Critic in JAX.
+
+First-party replacement for stable-baselines SAC (wired in
+sb_helper.py:104-128; hyperparameters from the config's SAC block: layers,
+buffer_size, batch_size, step_size/learning rate, discount_factor). Matches
+sb defaults where the config is silent: tau 0.005, entropy coefficient
+auto-tuned toward target entropy -dim(A), twin Q with min backup,
+1 gradient step per env step (scaled by batch collection on TPU).
+
+The whole update is one jit-compiled program over HBM-resident batches; the
+actor/critic MXU matmuls run in bfloat16 with f32 parameters (models/
+networks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deep_rl_grasping_tpu.models.networks import SACActor, SACCritic
+
+
+@struct.dataclass
+class SACState:
+    actor_params: Any
+    actor_opt: Any
+    critic_params: Any
+    critic_opt: Any
+    target_critic_params: Any
+    log_alpha: jnp.ndarray
+    alpha_opt: Any
+    step: jnp.ndarray
+
+
+class SAC:
+    def __init__(self, obs_shape, action_dim, config, image_obs=None):
+        c = config.get("SAC", {})
+        self.gamma = float(config.get("discount_factor", 0.99))
+        self.tau = 0.005
+        self.lr = float(c.get("step_size", 3e-4))
+        self.batch_size = int(c.get("batch_size", 256))
+        self.layers = tuple(c.get("layers", [64, 64]))
+        self.action_dim = int(action_dim)
+        self.target_entropy = -float(action_dim)
+        if image_obs is None:
+            image_obs = len(obs_shape) == 3
+        self.image_obs = image_obs
+        self.obs_shape = tuple(obs_shape)
+
+        self.actor = SACActor(self.action_dim, self.layers, self.image_obs)
+        self.critic = SACCritic(self.layers, self.image_obs)
+        self.actor_tx = optax.adam(self.lr)
+        self.critic_tx = optax.adam(self.lr)
+        self.alpha_tx = optax.adam(self.lr)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key) -> SACState:
+        ka, kc = jax.random.split(key)
+        dummy_obs = jnp.zeros((1,) + self.obs_shape)
+        dummy_act = jnp.zeros((1, self.action_dim))
+        actor_params = self.actor.init(ka, dummy_obs)["params"]
+        critic_params = self.critic.init(kc, dummy_obs, dummy_act)["params"]
+        return SACState(
+            actor_params=actor_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_params=critic_params,
+            critic_opt=self.critic_tx.init(critic_params),
+            target_critic_params=critic_params,
+            log_alpha=jnp.asarray(0.0, jnp.float32),
+            alpha_opt=self.alpha_tx.init(jnp.asarray(0.0, jnp.float32)),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ act
+
+    def _dist(self, params, obs):
+        mean, log_std = self.actor.apply({"params": params}, obs)
+        return mean, log_std
+
+    def sample_action(self, params, obs, key):
+        """Squashed-Gaussian sample + log prob."""
+        mean, log_std = self._dist(params, obs)
+        std = jnp.exp(log_std)
+        eps = jax.random.normal(key, mean.shape)
+        pre_tanh = mean + std * eps
+        action = jnp.tanh(pre_tanh)
+        log_prob = (
+            -0.5 * (eps**2 + 2 * log_std + jnp.log(2 * jnp.pi))
+        ).sum(-1)
+        log_prob -= jnp.log(1 - action**2 + 1e-6).sum(-1)
+        return action, log_prob
+
+    def act(self, params, obs, key, deterministic=False):
+        mean, log_std = self._dist(params, obs)
+        if deterministic:
+            return jnp.tanh(mean)
+        std = jnp.exp(log_std)
+        return jnp.tanh(mean + std * jax.random.normal(key, mean.shape))
+
+    # ------------------------------------------------------------------ update
+
+    def update(self, state: SACState, batch, key):
+        """One SAC gradient step on (obs, action, reward, next_obs, done)."""
+        k1, k2 = jax.random.split(key)
+        alpha = jnp.exp(state.log_alpha)
+
+        next_action, next_logp = self.sample_action(
+            state.actor_params, batch["next_obs"], k1
+        )
+        q_next = self.critic.apply(
+            {"params": state.target_critic_params}, batch["next_obs"], next_action
+        ).min(-1)
+        target = batch["reward"] + self.gamma * (
+            1.0 - batch["done"].astype(jnp.float32)
+        ) * (q_next - alpha * next_logp)
+        target = jax.lax.stop_gradient(target)
+
+        def critic_loss_fn(params):
+            qs = self.critic.apply({"params": params}, batch["obs"], batch["action"])
+            td = qs - target[:, None]
+            loss = jnp.mean(batch["weight"][:, None] * td**2)
+            return loss, jnp.abs(td).mean(-1)
+
+        (critic_loss, td_abs), critic_grads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True
+        )(state.critic_params)
+        cu, critic_opt = self.critic_tx.update(
+            critic_grads, state.critic_opt, state.critic_params
+        )
+        critic_params = optax.apply_updates(state.critic_params, cu)
+
+        def actor_loss_fn(params):
+            a, logp = self.sample_action(params, batch["obs"], k2)
+            q = self.critic.apply({"params": critic_params}, batch["obs"], a).min(-1)
+            return jnp.mean(alpha * logp - q), logp
+
+        (actor_loss, logp), actor_grads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True
+        )(state.actor_params)
+        au, actor_opt = self.actor_tx.update(
+            actor_grads, state.actor_opt, state.actor_params
+        )
+        actor_params = optax.apply_updates(state.actor_params, au)
+
+        def alpha_loss_fn(log_alpha):
+            return -jnp.mean(
+                log_alpha * jax.lax.stop_gradient(logp + self.target_entropy)
+            )
+
+        alpha_loss, alpha_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        alu, alpha_opt = self.alpha_tx.update(
+            alpha_grad, state.alpha_opt, state.log_alpha
+        )
+        log_alpha = optax.apply_updates(state.log_alpha, alu)
+
+        target_params = jax.tree.map(
+            lambda t, p: (1 - self.tau) * t + self.tau * p,
+            state.target_critic_params,
+            critic_params,
+        )
+        new_state = SACState(
+            actor_params=actor_params,
+            actor_opt=actor_opt,
+            critic_params=critic_params,
+            critic_opt=critic_opt,
+            target_critic_params=target_params,
+            log_alpha=log_alpha,
+            alpha_opt=alpha_opt,
+            step=state.step + 1,
+        )
+        metrics = dict(
+            critic_loss=critic_loss,
+            actor_loss=actor_loss,
+            alpha_loss=alpha_loss,
+            alpha=alpha,
+            entropy=-logp.mean(),
+            td_abs=td_abs.mean(),
+        )
+        return new_state, metrics, td_abs

@@ -379,7 +379,11 @@ def _servo_qd(q, qd, target, finger_target, params):
     err = full_target - q
     a_max = params.dof_force / params.dof_mass
     dv_max = a_max * params.dt
-    v_stop = jnp.sqrt(2.0 * a_max * jnp.abs(err))
+    # Braking capacity: gravity eats into the z DOF's force budget, so plan
+    # the approach with the worst-case (downhill) deceleration.
+    g_load = jnp.array([0.0, 0.0, -params.gravity, 0.0, 0.0, 0.0], jnp.float32)
+    a_brake = jnp.maximum(0.8 * a_max - g_load, 0.5)
+    v_stop = jnp.sqrt(2.0 * a_brake * jnp.abs(err))
     v_des = jnp.sign(err) * jnp.minimum(jnp.abs(err) / params.dt, v_stop)
     return qd + jnp.clip(v_des - qd, -dv_max, dv_max)
 

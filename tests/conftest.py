@@ -1,9 +1,15 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so multi-chip
-sharding logic is testable without TPU hardware (SURVEY.md §4)."""
+sharding logic is testable without TPU hardware (SURVEY.md §4).
+
+NOTE on this image: a sitecustomize hook registers the `axon` TPU-tunnel
+backend in every interpreter and forces jax_platforms="axon,cpu", so env vars
+alone don't select CPU — the config must be overridden after import (before
+any backend use). XLA_FLAGS still works because the CPU client initializes
+lazily.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the env step program is large; caching makes
+# repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu", "tests must not run through the TPU tunnel"
