@@ -136,6 +136,30 @@ def decode_action(spec: ActuatorSpec, action, gripper_close):
     return translation, yaw, cmd
 
 
+def decode_branched_action(spec: ActuatorSpec, bins):
+    """BDQ composite action: one bin per action dimension, applied jointly
+    (the bdq_sb fork's action interface; bins use the same per-branch linear
+    discretization as actuator.py:126-147).
+
+    Simplified env: bins (3,) = (dx, dy, dyaw). Full env: bins (5,) =
+    (dx, dy, dz, dyaw, open/close with the middle bin = no-op).
+    """
+    mt, my = spec.max_translation, spec.max_yaw_rotation
+    grains = spec.num_actions_pad - 1
+    f = bins.astype(jnp.float32) / grains  # in [0, 1]
+    if spec.simplified:
+        tx = f[0] * 2 * mt - mt
+        ty = f[1] * 2 * mt - mt
+        yaw = f[2] * 2 * my - my
+        translation = jnp.stack([tx, ty, jnp.asarray(0.005, jnp.float32)])
+        return translation, yaw, jnp.asarray(CMD_MOVE, jnp.int32)
+    t = f[:3] * 2 * mt - mt
+    yaw = f[3] * 2 * my - my
+    oc = f[4] * 2.0 - 1.0
+    cmd = jnp.where(oc > 1e-6, CMD_OPEN, jnp.where(oc < -1e-6, CMD_CLOSE, CMD_MOVE))
+    return t, yaw, cmd.astype(jnp.int32)
+
+
 def actuator_obs(spec: ActuatorSpec, width, height):
     """Opening-width observation scaled to [0,1] (actuator.py:43-52)."""
     if spec.include_robot_height:

@@ -132,6 +132,9 @@ class GraspEnv:
         self.gripper_substeps = int(tpu.get("gripper_substeps", 48))
         self.encoder_fn = encoder_fn  # depth image (H,W,1) -> latent (D,)
         self.encoding_dim = int(config.get("encoding_dim", 100))
+        # BDQ composite actions: one discrete bin per action dimension
+        # (set by the BDQ training path; see algos/bdq.py).
+        self.branched_actions = False
 
     # ------------------------------------------------------------------ spaces
 
@@ -282,9 +285,14 @@ class GraspEnv:
     def _apply_action(self, sim: SimState, action):
         """Decode an action and set servo targets; returns (sim, cmd)."""
         g = sim.gripper
-        translation, yaw_rot, cmd = act.decode_action(
-            self.actuator_spec, action, g.gripper_close
-        )
+        if self.branched_actions:
+            translation, yaw_rot, cmd = act.decode_branched_action(
+                self.actuator_spec, action
+            )
+        else:
+            translation, yaw_rot, cmd = act.decode_action(
+                self.actuator_spec, action, g.gripper_close
+            )
         move_target, move_ee = self._compose_move_target(g, translation, yaw_rot)
         is_move = cmd == act.CMD_MOVE
         target = jnp.where(is_move, move_target, g.target)

@@ -1,0 +1,276 @@
+"""Training orchestration: the SBPolicy equivalent (sb_helper.py:56-248).
+
+The reference glues a single gym env to stable-baselines' TF1 graphs and
+steps them one frame at a time through Python. Here the entire
+collect -> store -> sample -> update cycle is one jit-compiled program
+stepping `num_envs` environments in parallel on device; the host loop only
+handles logging, evaluation cadence, and checkpoints.
+
+Scaling semantics: the reference performs 1 gradient step per env frame
+(sb SAC train_freq=1). With B parallel envs one "iteration" produces B
+frames and performs `updates_per_step` gradient steps of `batch_size`; the
+effective replay ratio is configurable rather than implicitly 64 (see
+config `tpu.updates_per_step`).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deep_rl_grasping_tpu.algos import normalize as norm_mod
+from deep_rl_grasping_tpu.algos import replay as replay_mod
+from deep_rl_grasping_tpu.algos.bdq import BDQ
+from deep_rl_grasping_tpu.algos.dqn import DQN
+from deep_rl_grasping_tpu.algos.sac import SAC
+from deep_rl_grasping_tpu.envs import curriculum as curr_mod
+from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
+from deep_rl_grasping_tpu.utils import config as cfg_util
+
+
+@struct.dataclass
+class LoopState:
+    env_states: object
+    obs: jnp.ndarray
+    curriculum: curr_mod.CurriculumState
+    buffer: replay_mod.ReplayBuffer
+    algo_state: object
+    normalizer: norm_mod.NormalizerState
+    key: jnp.ndarray
+    global_step: jnp.ndarray  # () int64-ish frames collected
+    ep_count: jnp.ndarray
+    ep_return_sum: jnp.ndarray
+    ep_success_sum: jnp.ndarray
+    ep_len_sum: jnp.ndarray
+
+
+def make_algo(config, env: GraspEnv, algo_name):
+    algo_name = algo_name.upper()
+    obs_shape = env.obs_shape
+    if algo_name == "SAC":
+        return SAC(obs_shape, env.action_dim, config)
+    if algo_name == "DQN":
+        return DQN(obs_shape, env.num_actions, config)
+    if algo_name == "BDQ":
+        env.branched_actions = True
+        num_branches = 3 if env.simplified else 5
+        return BDQ(obs_shape, num_branches, config)
+    raise ValueError(f"unknown off-policy algo {algo_name}")
+
+
+class Trainer:
+    def __init__(self, config, algo="SAC", model_dir=None, num_envs=None):
+        self.config = cfg_util.load_config(config)
+        self.algo_name = algo.upper()
+        self.model_dir = model_dir
+        self.env = GraspEnv(self.config)
+        self.num_envs = int(num_envs or self.config["tpu"].get("num_envs", 128))
+        self.benv = BatchedGraspEnv(self.env, self.num_envs)
+        self.algo = make_algo(self.config, self.env, self.algo_name)
+        self.normalize = bool(self.config.get("normalize", False))
+        tpu_cfg = self.config["tpu"]
+        self.updates_per_step = int(tpu_cfg.get("updates_per_step", 1))
+        algo_cfg = self.config.get(self.algo_name, {})
+        self.buffer_size = int(algo_cfg.get("buffer_size", 200_000))
+        self.batch_size = int(algo_cfg.get("batch_size", 256))
+        self.learning_starts = int(algo_cfg.get("learning_starts", 1000))
+        self.prioritized = bool(getattr(self.algo, "prioritized", False))
+
+        if self.env.discrete or self.algo_name == "BDQ":
+            if self.algo_name == "BDQ":
+                act_shape = (self.algo.num_branches,)
+            else:
+                act_shape = ()
+            act_dtype = jnp.int32
+        else:
+            act_shape = (self.env.action_dim,)
+            act_dtype = jnp.float32
+        self.act_shape = act_shape
+        self.act_dtype = act_dtype
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, key) -> LoopState:
+        k_env, k_algo, k_loop = jax.random.split(key, 3)
+        curriculum = self.benv.init_curriculum()
+        env_states, obs = self.benv.reset(k_env, curriculum)
+        buffer = replay_mod.create(
+            self.buffer_size,
+            self.env.obs_shape,
+            self.act_shape,
+            batch_stride=self.num_envs,
+            action_dtype=self.act_dtype,
+        )
+        algo_state = self.algo.init(k_algo)
+        normalizer = norm_mod.NormalizerState.init(self.env.obs_shape, self.num_envs)
+        return LoopState(
+            env_states=env_states,
+            obs=obs,
+            curriculum=curriculum,
+            buffer=buffer,
+            algo_state=algo_state,
+            normalizer=normalizer,
+            key=k_loop,
+            global_step=jnp.asarray(0, jnp.int32),
+            ep_count=jnp.asarray(0, jnp.int32),
+            ep_return_sum=jnp.asarray(0.0, jnp.float32),
+            ep_success_sum=jnp.asarray(0.0, jnp.float32),
+            ep_len_sum=jnp.asarray(0.0, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------ core
+
+    def _policy_params(self, algo_state):
+        if self.algo_name == "SAC":
+            return algo_state.actor_params
+        return algo_state.params
+
+    def _act(self, algo_state, obs, key, deterministic=False):
+        params = self._policy_params(algo_state)
+        if self.algo_name == "SAC":
+            return self.algo.act(params, obs, key, deterministic)
+        eps = jnp.where(
+            deterministic, 0.0, self.algo.epsilon(algo_state.step)
+        )
+        return self.algo.act(params, obs, key, eps)
+
+    def train_step(self, state: LoopState) -> tuple:
+        """One collect+update iteration (jit/scan-able)."""
+        key, k_act, k_sample, k_upd = jax.random.split(state.key, 4)
+        if self.normalize:
+            obs_in = norm_mod.normalize_obs(state.normalizer, state.obs)
+        else:
+            obs_in = state.obs
+        actions = self._act(state.algo_state, obs_in, k_act)
+        env_states, next_obs, rewards, dones, infos, curriculum = self.benv.step(
+            state.env_states, actions, state.curriculum
+        )
+        normalizer = norm_mod.update_batch(
+            state.normalizer, state.obs, rewards, dones,
+            gamma=self.algo.gamma, training=self.normalize,
+        )
+        buffer = replay_mod.insert(state.buffer, state.obs, actions, rewards, dones)
+
+        can_learn = buffer.size >= jnp.maximum(
+            self.learning_starts, self.batch_size + self.num_envs
+        )
+
+        def do_update(carry, k):
+            algo_state, buffer = carry
+            ks, ku = jax.random.split(k)
+            if self.prioritized:
+                batch = replay_mod.sample_prioritized(buffer, ks, self.batch_size)
+            else:
+                batch = replay_mod.sample(buffer, ks, self.batch_size)
+            if self.normalize:
+                batch["obs"] = norm_mod.normalize_obs(normalizer, batch["obs"])
+                batch["next_obs"] = norm_mod.normalize_obs(normalizer, batch["next_obs"])
+                batch["reward"] = norm_mod.normalize_reward(normalizer, batch["reward"])
+            new_algo_state, metrics, td_abs = self.algo.update(algo_state, batch, ku)
+            if self.prioritized:
+                buffer = replay_mod.update_priorities(buffer, batch["idx"], td_abs)
+            # Freeze updates until the buffer has warmed up.
+            algo_state = jax.tree.map(
+                lambda new, old: jnp.where(can_learn, new, old),
+                new_algo_state,
+                algo_state,
+            )
+            return (algo_state, buffer), metrics
+
+        upd_keys = jax.random.split(k_upd, self.updates_per_step)
+        (algo_state, buffer), metrics = jax.lax.scan(
+            do_update, (state.algo_state, buffer), upd_keys
+        )
+        metrics = jax.tree.map(lambda m: m[-1], metrics)
+
+        new_state = LoopState(
+            env_states=env_states,
+            obs=next_obs,
+            curriculum=curriculum,
+            buffer=buffer,
+            algo_state=algo_state,
+            normalizer=normalizer,
+            key=key,
+            global_step=state.global_step + self.num_envs,
+            ep_count=state.ep_count + dones.sum(dtype=jnp.int32),
+            ep_return_sum=state.ep_return_sum
+            + jnp.where(dones, infos["episode_return"], 0.0).sum(),
+            ep_success_sum=state.ep_success_sum
+            + (dones & infos["is_success"]).sum(dtype=jnp.float32),
+            ep_len_sum=state.ep_len_sum
+            + jnp.where(dones, infos["episode_step"], 0).sum().astype(jnp.float32),
+        )
+        return new_state, metrics
+
+    def train_chunk(self, state: LoopState, n_steps: int):
+        """Scan `n_steps` iterations on device; returns final state+metrics."""
+
+        def body(s, _):
+            s, m = self.train_step(s)
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, None, length=n_steps)
+        last_metrics = jax.tree.map(lambda m: m[-1], metrics)
+        return state, last_metrics
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, algo_state, normalizer, n_episodes=10, key=None,
+                 validate=True):
+        """EvalCallback equivalent (base_callbacks.py:16-117): deterministic
+        episodes on the validation env at lambda=1 with the fixed eval seed
+        (simulation.py:91-100)."""
+        eval_env = GraspEnv(self.config, evaluate=True, validate=validate)
+        eval_env.branched_actions = self.env.branched_actions
+        benv = BatchedGraspEnv(eval_env, n_episodes)
+        curriculum = benv.init_curriculum()
+        key = jax.random.PRNGKey(1) if key is None else key
+
+        def run(algo_state, normalizer, key):
+            states, obs = benv.reset(key, curriculum)
+            B = n_episodes
+
+            def body(carry, i):
+                states, obs, cur, done_once, ret, length, succ, k = carry
+                k, ka = jax.random.split(k)
+                obs_in = (
+                    norm_mod.normalize_obs(normalizer, obs)
+                    if self.normalize
+                    else obs
+                )
+                actions = self._act(algo_state, obs_in, ka, deterministic=True)
+                states, obs, rewards, dones, infos, cur = benv.step(
+                    states, actions, cur
+                )
+                first_done = dones & ~done_once
+                ret = jnp.where(first_done, infos["episode_return"], ret)
+                length = jnp.where(first_done, infos["episode_step"], length)
+                succ = jnp.where(first_done, infos["is_success"], succ)
+                done_once = done_once | dones
+                return (states, obs, cur, done_once, ret, length, succ, k), None
+
+            init = (
+                states, obs, curriculum,
+                jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool), key,
+            )
+            (states, obs, cur, done_once, ret, length, succ, _), _ = jax.lax.scan(
+                body, init, None, length=eval_env.time_horizon
+            )
+            return dict(
+                mean_return=jnp.where(done_once, ret, 0.0).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                mean_length=jnp.where(done_once, length, 0).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                success_rate=jnp.where(done_once, succ, False).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                episodes=done_once.sum(),
+            )
+
+        return jax.jit(run)(algo_state, normalizer, key)
