@@ -44,7 +44,9 @@ class BDQState:
 
 
 class BDQ:
-    def __init__(self, obs_shape, num_branches, config, image_obs=None):
+    def __init__(self, obs_shape, num_branches, config, image_obs=None,
+                 pmean_axis=None):
+        self.pmean_axis = pmean_axis
         c = config.get("BDQ", {})
         self.gamma = float(config.get("discount_factor", 0.99))
         self.lr = float(c.get("learning_rate", 1e-4))
@@ -117,6 +119,8 @@ class BDQ:
         (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if self.pmean_axis is not None:
+            grads = jax.lax.pmean(grads, self.pmean_axis)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1

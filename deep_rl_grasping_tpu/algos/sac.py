@@ -37,7 +37,11 @@ class SACState:
 
 
 class SAC:
-    def __init__(self, obs_shape, action_dim, config, image_obs=None):
+    def __init__(self, obs_shape, action_dim, config, image_obs=None,
+                 pmean_axis=None):
+        # pmean_axis: mesh axis name for data-parallel gradient averaging
+        # (set by parallel/train_dp.py when running under shard_map).
+        self.pmean_axis = pmean_axis
         c = config.get("SAC", {})
         self.gamma = float(config.get("discount_factor", 0.99))
         self.tau = 0.005
@@ -102,6 +106,11 @@ class SAC:
         std = jnp.exp(log_std)
         return jnp.tanh(mean + std * jax.random.normal(key, mean.shape))
 
+    def _pmean(self, tree):
+        if self.pmean_axis is None:
+            return tree
+        return jax.lax.pmean(tree, self.pmean_axis)
+
     # ------------------------------------------------------------------ update
 
     def update(self, state: SACState, batch, key):
@@ -129,6 +138,7 @@ class SAC:
         (critic_loss, td_abs), critic_grads = jax.value_and_grad(
             critic_loss_fn, has_aux=True
         )(state.critic_params)
+        critic_grads = self._pmean(critic_grads)
         cu, critic_opt = self.critic_tx.update(
             critic_grads, state.critic_opt, state.critic_params
         )
@@ -142,6 +152,7 @@ class SAC:
         (actor_loss, logp), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True
         )(state.actor_params)
+        actor_grads = self._pmean(actor_grads)
         au, actor_opt = self.actor_tx.update(
             actor_grads, state.actor_opt, state.actor_params
         )
@@ -153,6 +164,7 @@ class SAC:
             )
 
         alpha_loss, alpha_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        alpha_grad = self._pmean(alpha_grad)
         alu, alpha_opt = self.alpha_tx.update(
             alpha_grad, state.alpha_opt, state.log_alpha
         )

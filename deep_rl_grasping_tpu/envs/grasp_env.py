@@ -434,10 +434,13 @@ def _bcast(flag, ref):
 class BatchedGraspEnv:
     """vmap wrapper + shared curriculum (replaces VecEnv, SURVEY.md §2.17)."""
 
-    def __init__(self, env: GraspEnv, num_envs: int):
+    def __init__(self, env: GraspEnv, num_envs: int, pmean_axis=None):
         self.env = env
         self.num_envs = num_envs
         self.curriculum_spec = env.curriculum_spec
+        # Mesh axis for cross-device curriculum aggregation (the success
+        # window is global, like the reference's single shared deque).
+        self.pmean_axis = pmean_axis
 
     def init_curriculum(self):
         return curr.CurriculumState.init(self.curriculum_spec, self.env.evaluate)
@@ -455,6 +458,9 @@ class BatchedGraspEnv:
         )(states, actions)
         n_done = jnp.sum(dones.astype(jnp.int32))
         n_succ = jnp.sum((dones & infos["is_success"]).astype(jnp.int32))
+        if self.pmean_axis is not None:
+            n_done = jax.lax.psum(n_done, self.pmean_axis)
+            n_succ = jax.lax.psum(n_succ, self.pmean_axis)
         curriculum_state = curr.update(
             self.curriculum_spec, curriculum_state, n_done, n_succ
         )

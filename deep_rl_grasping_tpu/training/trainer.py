@@ -27,6 +27,7 @@ from flax import struct
 from deep_rl_grasping_tpu.algos import normalize as norm_mod
 from deep_rl_grasping_tpu.algos import replay as replay_mod
 from deep_rl_grasping_tpu.algos.bdq import BDQ
+from deep_rl_grasping_tpu.algos.ddpg import DDPG
 from deep_rl_grasping_tpu.algos.dqn import DQN
 from deep_rl_grasping_tpu.algos.sac import SAC
 from deep_rl_grasping_tpu.envs import curriculum as curr_mod
@@ -50,29 +51,33 @@ class LoopState:
     ep_len_sum: jnp.ndarray
 
 
-def make_algo(config, env: GraspEnv, algo_name):
+def make_algo(config, env: GraspEnv, algo_name, pmean_axis=None):
     algo_name = algo_name.upper()
     obs_shape = env.obs_shape
     if algo_name == "SAC":
-        return SAC(obs_shape, env.action_dim, config)
+        return SAC(obs_shape, env.action_dim, config, pmean_axis=pmean_axis)
     if algo_name == "DQN":
-        return DQN(obs_shape, env.num_actions, config)
+        return DQN(obs_shape, env.num_actions, config, pmean_axis=pmean_axis)
     if algo_name == "BDQ":
         env.branched_actions = True
         num_branches = 3 if env.simplified else 5
-        return BDQ(obs_shape, num_branches, config)
+        return BDQ(obs_shape, num_branches, config, pmean_axis=pmean_axis)
+    if algo_name == "DDPG":
+        return DDPG(obs_shape, env.action_dim, config, pmean_axis=pmean_axis)
     raise ValueError(f"unknown off-policy algo {algo_name}")
 
 
 class Trainer:
-    def __init__(self, config, algo="SAC", model_dir=None, num_envs=None):
+    def __init__(self, config, algo="SAC", model_dir=None, num_envs=None,
+                 pmean_axis=None):
         self.config = cfg_util.load_config(config)
         self.algo_name = algo.upper()
         self.model_dir = model_dir
+        self.pmean_axis = pmean_axis
         self.env = GraspEnv(self.config)
         self.num_envs = int(num_envs or self.config["tpu"].get("num_envs", 128))
-        self.benv = BatchedGraspEnv(self.env, self.num_envs)
-        self.algo = make_algo(self.config, self.env, self.algo_name)
+        self.benv = BatchedGraspEnv(self.env, self.num_envs, pmean_axis=pmean_axis)
+        self.algo = make_algo(self.config, self.env, self.algo_name, pmean_axis)
         self.normalize = bool(self.config.get("normalize", False))
         tpu_cfg = self.config["tpu"]
         self.updates_per_step = int(tpu_cfg.get("updates_per_step", 1))
@@ -127,13 +132,13 @@ class Trainer:
     # ------------------------------------------------------------------ core
 
     def _policy_params(self, algo_state):
-        if self.algo_name == "SAC":
+        if self.algo_name in ("SAC", "DDPG"):
             return algo_state.actor_params
         return algo_state.params
 
     def _act(self, algo_state, obs, key, deterministic=False):
         params = self._policy_params(algo_state)
-        if self.algo_name == "SAC":
+        if self.algo_name in ("SAC", "DDPG"):
             return self.algo.act(params, obs, key, deterministic)
         eps = jnp.where(
             deterministic, 0.0, self.algo.epsilon(algo_state.step)
