@@ -97,16 +97,17 @@ def sample(buf: ReplayBuffer, key, batch_size):
 
 
 def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
-    """Proportional prioritized sampling via Gumbel-top-k over
-    alpha-scaled log priorities, with importance weights."""
+    """Proportional prioritized sampling (with replacement) via categorical
+    over alpha-scaled log priorities, with importance weights. A dense
+    categorical draw is the VPU-friendly equivalent of the host-side sum
+    tree."""
     n = _valid_range(buf)
     slots = jnp.arange(buf.capacity)
     idx_ring = (buf.ptr - buf.size + slots) % buf.capacity
     valid = slots < n
     logits = alpha * jnp.log(jnp.maximum(buf.priority[idx_ring], 1e-12))
     logits = jnp.where(valid, logits, -jnp.inf)
-    g = jax.random.gumbel(key, (buf.capacity,))
-    _, top = jax.lax.top_k(logits + g, batch_size)
+    top = jax.random.categorical(key, logits, shape=(batch_size,))
     idx = idx_ring[top]
     nxt = (idx + buf.batch_stride) % buf.capacity
     # Importance weights: w = (N * P(i))^-beta / max w

@@ -1,0 +1,108 @@
+"""On-device depth-image dataset collection for autoencoder training.
+
+Replaces scripts/collect_dataset.py (a scripted single-env policy writing
+18k train + 2k test images to pickle at ~1 img/s). Here the batched env
+rolls out a random exploration policy and the masked depth preprocessing of
+train_encoder.py:19-27 (zero out the support surface and gripper via the
+segmentation mask) runs inside the same jitted program; thousands of images
+per second come back in one device array.
+
+Usage:
+  python -m deep_rl_grasping_tpu.training.collect_dataset \
+      --config configs/simplified_object_picking.yaml \
+      --out encoder_files/dataset.npz --train 18000 --test 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
+from deep_rl_grasping_tpu.utils import config as cfg_util
+
+
+def masked_depth(env: GraspEnv, state):
+    """Depth image with surface + gripper zeroed (train_encoder.py:19-27)."""
+    _, depth, mask = env.render_raw(state)
+    img = depth
+    img = jnp.where(mask == 0, 0.0, img)
+    gripper_id = (env.max_slots + 3) if env.sim_params.has_tray else (env.max_slots + 1)
+    img = jnp.where(mask == gripper_id, 0.0, img)
+    if env.scene_type == "OnTable":
+        img = jnp.where((mask == 1) | (mask == 2), 0.0, img)
+    return img
+
+
+def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20):
+    cfg = cfg_util.load_config(config)
+    cfg["simplified"] = True  # collection uses the descend policy's env
+    env = GraspEnv(cfg)
+    benv = BatchedGraspEnv(env, num_envs)
+    curriculum = benv.init_curriculum()
+    lam = jnp.asarray(1.0)  # full-difficulty scenes for diverse images
+
+    def rollout(key):
+        k_reset, k_act = jax.random.split(key)
+        keys = jax.random.split(k_reset, num_envs)
+        states, _ = jax.vmap(lambda k: env.reset(k, lam))(keys)
+
+        def body(carry, k):
+            states = carry
+            acts = jax.random.uniform(
+                k, (num_envs, env.action_dim), minval=-1.0, maxval=1.0
+            )
+            states, _, _, _, _ = jax.vmap(
+                lambda s, a: env.step(s, a, lam)
+            )(states, acts)
+            imgs = jax.vmap(lambda s: masked_depth(env, s))(states)
+            return states, imgs
+
+        _, imgs = jax.lax.scan(
+            body, states, jax.random.split(k_act, steps_per_reset)
+        )
+        return imgs.reshape(-1, env.im_h, env.im_w)
+
+    rollout_jit = jax.jit(rollout)
+    out = []
+    total = 0
+    key = jax.random.PRNGKey(seed)
+    while total < n_images:
+        key, k = jax.random.split(key)
+        imgs = np.asarray(rollout_jit(k))
+        out.append(imgs)
+        total += imgs.shape[0]
+        print(f"collected {total}/{n_images}")
+    return np.concatenate(out)[:n_images]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/simplified_object_picking.yaml")
+    p.add_argument("--out", default="encoder_files/dataset.npz")
+    p.add_argument("--train", type=int, default=18000)
+    p.add_argument("--test", type=int, default=2000)
+    p.add_argument("--num_envs", type=int, default=128)
+    args = p.parse_args(argv)
+
+    imgs = collect(args.config, args.train + args.test, args.num_envs)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez_compressed(
+        args.out,
+        train=imgs[: args.train, ..., None].astype(np.float32),
+        test=imgs[args.train :, ..., None].astype(np.float32),
+    )
+    print(f"wrote {args.out}: train {args.train}, test {args.test}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""CLI entry point: train / run.
+
+Mirrors the reference's interface (training/train_stable_baselines.py:112-142):
+
+  python -m deep_rl_grasping_tpu.training.train train \
+      --config configs/gripper_grasp.yaml --algo SAC --model_dir out/sac
+  python -m deep_rl_grasping_tpu.training.train run \
+      --model out/sac [--test] [--stochastic] [-v]
+
+train: builds the batched env + algorithm from the YAML config, runs the
+jit-compiled training loop with eval/checkpoint cadence, writes monitor CSV,
+logs.csv, curriculum_steps.csv, and the resolved config snapshot into
+model_dir (sb_helper/callbacks equivalents).
+
+run: restores a checkpoint and evaluates 100 deterministic episodes with the
+fixed eval object sequence (manipulation_main/utils.py:10-44 protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_rl_grasping_tpu.training import callbacks as cb
+from deep_rl_grasping_tpu.utils import config as cfg_util
+from deep_rl_grasping_tpu.utils import io_utils
+
+OFF_POLICY = ("SAC", "DQN", "BDQ", "DDPG")
+ON_POLICY = ("PPO", "TRPO")
+
+
+def train(args):
+    config = cfg_util.load_config(args.config)
+    algo = args.algo.upper()
+    model_dir = args.model_dir
+    os.makedirs(model_dir, exist_ok=True)
+    os.makedirs(os.path.join(model_dir, "best_model"), exist_ok=True)
+
+    # CLI overrides (train_stable_baselines.py:34-50)
+    if args.simple:
+        config["simplified"] = True
+    if args.shaped:
+        config["reward"]["shaped"] = True
+    if args.timestep:
+        config.setdefault(algo, {})["total_timesteps"] = int(args.timestep)
+    config["robot"]["discrete"] = algo in ("DQN", "BDQ")
+    config["algorithm"] = algo.lower()
+    io_utils.save_yaml(config, os.path.join(model_dir, "config.yaml"))
+    io_utils.save_yaml(config, os.path.join(model_dir, "best_model", "config.yaml"))
+
+    total_timesteps = int(config.get(algo, {}).get("total_timesteps", 1_000_000))
+    eval_freq = int(config.get("tpu", {}).get("eval_freq", 50_000))
+    checkpoint_freq = int(config.get("tpu", {}).get("checkpoint_freq", 25_000))
+    chunk_steps = int(config.get("tpu", {}).get("chunk_steps", 20))
+
+    if algo in OFF_POLICY:
+        from deep_rl_grasping_tpu.training.trainer import Trainer
+
+        trainer = Trainer(config, algo=algo)
+        state = jax.jit(trainer.init_state)(jax.random.PRNGKey(args.seed))
+        step_fn = jax.jit(
+            lambda s: trainer.train_chunk(s, chunk_steps), donate_argnums=0
+        )
+        frames_per_chunk = chunk_steps * trainer.num_envs
+    else:
+        from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
+
+        trainer = OnPolicyTrainer(config, algo=algo)
+        state = jax.jit(trainer.init_state)(jax.random.PRNGKey(args.seed))
+        step_fn = jax.jit(trainer.train_iteration, donate_argnums=0)
+        frames_per_chunk = trainer.algo.n_steps * trainer.num_envs
+
+    monitor = cb.MonitorLogger(model_dir)
+    scalars = cb.ScalarLogger(model_dir)
+    curr_log = cb.CurriculumLogger(model_dir)
+    ckpt = cb.Checkpointer(model_dir)
+    timer = cb.TrainingTimer()
+
+    logging.info("training %s for %d frames (%d envs)", algo, total_timesteps,
+                 trainer.num_envs)
+    frames = 0
+    last_eval = 0
+    last_ckpt = 0
+    prev_counts = (0, 0.0, 0.0, 0.0)
+    try:
+        while frames < total_timesteps:
+            state, metrics = step_fn(state)
+            frames = int(state.global_step)
+            timer.tick(frames_per_chunk)
+
+            ep = int(state.ep_count)
+            rs = float(state.ep_return_sum)
+            ss = float(state.ep_success_sum)
+            ls = float(getattr(state, "ep_len_sum", jnp.asarray(0.0)))
+            d_ep = ep - prev_counts[0]
+            if d_ep > 0:
+                monitor.log(
+                    (rs - prev_counts[1]) / d_ep,
+                    (ls - prev_counts[3]) / d_ep if ls else 0.0,
+                    (ss - prev_counts[2]) / d_ep,
+                )
+                prev_counts = (ep, rs, ss, ls)
+            sr = float(state.curriculum.sr_mean)
+            lam = float(state.curriculum.lam)
+            scalars.log(frames, dict(
+                success_rate=sr, curriculum_lambda=lam,
+                steps_per_s=timer.steps_per_s,
+                **{k: float(np.asarray(v)) for k, v in metrics.items()},
+            ))
+            curr_log.log(state.curriculum.policy_iteration, lam)
+            logging.info(
+                "frames %d  sr %.3f  lambda %.2f  %.0f steps/s",
+                frames, sr, lam, timer.steps_per_s,
+            )
+
+            if frames - last_ckpt >= checkpoint_freq:
+                ckpt.save(frames, state.algo_state)
+                last_ckpt = frames
+            if frames - last_eval >= eval_freq and algo in OFF_POLICY:
+                res = trainer.evaluate(state.algo_state, state.normalizer)
+                res = {k: float(v) for k, v in res.items()}
+                logging.info("eval @ %d: %s", frames, res)
+                scalars.log(frames, {"eval_" + k: v for k, v in res.items()})
+                if ckpt.save_best(frames, state.algo_state, res["mean_return"]):
+                    logging.info("new best model (return %.1f)", res["mean_return"])
+                last_eval = frames
+    except KeyboardInterrupt:
+        logging.info("interrupted; saving model (sb_helper.py:174-179 behavior)")
+
+    ckpt.save(max(frames, 1), state.algo_state)
+    ckpt.wait()
+    monitor.close()
+    scalars.close()
+    logging.info("done: %d frames", frames)
+
+
+def run(args):
+    """Evaluate a trained model (train_stable_baselines.py:75-109 +
+    utils.py:10-44: 100 episodes, mean reward/steps/success/time)."""
+    model_dir = args.model
+    config = cfg_util.load_config(os.path.join(model_dir, "config.yaml"))
+    algo = config.get("algorithm", "sac").upper()
+
+    from deep_rl_grasping_tpu.training.trainer import Trainer
+
+    trainer = Trainer(config, algo=algo)
+    state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
+    ckpt = cb.Checkpointer(model_dir)
+    algo_state = ckpt.restore(state.algo_state)
+
+    n_episodes = args.episodes
+    t0 = time.process_time()
+    res = trainer.evaluate(
+        algo_state, state.normalizer, n_episodes=n_episodes,
+        validate=not args.test,
+    )
+    wall = time.process_time() - t0
+    print("{:<13}{:>7.2f}".format("Mean reward:", float(res["mean_return"])))
+    print("{:<13}{:>7.2f}".format("Mean steps:", float(res["mean_length"])))
+    print("{:<13}{:>7.2f}".format("Mean success rate:", float(res["success_rate"])))
+    print("{:<13}{:>7.2f}".format("Mean time:", wall / max(n_episodes, 1)))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(required=True)
+
+    tp = sub.add_parser("train")
+    tp.add_argument("--config", type=str, required=True)
+    tp.add_argument("--algo", type=str, required=True)
+    tp.add_argument("--model_dir", type=str, required=True)
+    tp.add_argument("--load_dir", type=str)
+    tp.add_argument("--timestep", type=str)
+    tp.add_argument("--seed", type=int, default=0)
+    tp.add_argument("-s", "--simple", action="store_true")
+    tp.add_argument("-sh", "--shaped", action="store_true")
+    tp.add_argument("-v", "--visualize", action="store_true")
+    tp.set_defaults(func=train)
+
+    rp = sub.add_parser("run")
+    rp.add_argument("--model", type=str, required=True)
+    rp.add_argument("-t", "--test", action="store_true")
+    rp.add_argument("-s", "--stochastic", action="store_true")
+    rp.add_argument("-v", "--visualize", action="store_true")
+    rp.add_argument("--episodes", type=int, default=100)
+    rp.set_defaults(func=run)
+
+    logging.getLogger().setLevel(logging.INFO)
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
