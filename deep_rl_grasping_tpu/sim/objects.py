@@ -42,12 +42,18 @@ WOOD_DENSITY = 740.0  # kg/m^3, matches 30 mm cube @ 0.020 kg (cube.urdf)
 
 
 def _box_spheres(half_extents, s):
-    """Fill a box with up to `s` spheres along its longest axis."""
+    """Fill a box with up to `s` overlapping spheres along its longest axis.
+
+    Sphere spacing is kept <= ~1.1 r so inter-sphere "waists" stay shallow:
+    the gripper's finger-stall grasp detection (robot.py:295-297) requires
+    any pinchable cross-section to be wider than the 5 mm width tolerance.
+    """
     hx, hy, hz = half_extents
     r = min(hx, hy, hz)
     long_axis = int(np.argmax(half_extents))
     L = half_extents[long_axis]
-    n = max(1, min(s, int(np.ceil(L / r))))
+    span = 2.0 * (L - r)
+    n = max(1, min(s, int(np.ceil(span / (1.1 * r))) + 1))
     centers = np.zeros((n, 3))
     if n > 1:
         centers[:, long_axis] = np.linspace(-(L - r), L - r, n)
@@ -92,6 +98,10 @@ def _random_object_geometry(rng, s):
     axis[2] *= 0.3
     axis /= np.linalg.norm(axis) + 1e-9
     n_core = max(2, n - int(rng.integers(0, 2)))
+    # Keep spheres overlapping (spacing <= 0.8 base_r): deep waists between
+    # spheres would let the fingers pinch below the 5 mm grasp-detection
+    # width (robot.py:295-297) while still wedging the object.
+    length = min(length, 0.8 * base_r * (n_core - 1))
     t = np.linspace(-0.5, 0.5, n_core)
     centers = np.outer(t, axis) * length
     radii = base_r * rng.uniform(0.75, 1.25, size=n_core)

@@ -110,11 +110,20 @@ def pad_frames(q):
     return base, R, jnp.stack([c_l, c_r]), jnp.stack([axis_l, axis_r])
 
 
-def _sphere_box_contact(center, radius, box_center, box_R, half_extents):
+def _sphere_box_contact(center, radius, box_center, box_R, half_extents,
+                        inside_axis=None, inside_sign=None):
     """Closest-point contact between a sphere and an OBB.
 
     Returns (normal pointing box->sphere, penetration >= 0 when touching,
     contact point, touching flag).
+
+    inside_axis / inside_sign: recovery direction when the sphere center is
+    INSIDE the box. The default (least-penetration face) is wrong for thin
+    one-sided geometry: a finger pad must always push captured spheres back
+    toward the jaw (fixed axis AND sign), otherwise a deeply squeezed sphere
+    whose center crosses the pad's mid-plane gets ejected out the *back* of
+    the pad — which is how end-on sphere chains were being extruded through
+    closing fingers.
     """
     d = center - box_center
     local = _einsum("ji,j->i", box_R, d)
@@ -123,15 +132,20 @@ def _sphere_box_contact(center, radius, box_center, box_R, half_extents):
     delta = local - clamped
     dist = jnp.linalg.norm(delta)
     outside = dist > 1e-9
-    # Outside: normal from surface point to center. Inside: push along the
-    # axis of least penetration.
     n_out = jnp.where(outside, delta / jnp.maximum(dist, 1e-9), 0.0)
     depth_axes = he - jnp.abs(local)
-    ax = jnp.argmin(depth_axes)
-    sign = jnp.sign(local[ax]) + (local[ax] == 0.0)
+    if inside_axis is None:
+        ax = jnp.argmin(depth_axes)
+    else:
+        ax = inside_axis
+    if inside_sign is None:
+        sign = jnp.sign(local[ax]) + (local[ax] == 0.0)
+    else:
+        sign = jnp.asarray(inside_sign, jnp.float32)
     n_in = jax.nn.one_hot(ax, 3) * sign
     n_local = jnp.where(outside, n_out, n_in)
-    pen = jnp.where(outside, radius - dist, radius + depth_axes[ax])
+    pen_in = radius + he[ax] - sign * local[ax]
+    pen = jnp.where(outside, radius - dist, pen_in)
     n_world = _einsum("ij,j->i", box_R, n_local)
     point = center - n_world * radius
     return n_world, pen, point, pen > 0.0
@@ -172,10 +186,52 @@ def _collect_contacts(state: SimState, params: SimParams):
     ias.append(flat_ia); bkinds.append(jnp.zeros(K * S, jnp.int32))
     ibs.append(jnp.zeros(K * S, jnp.int32)); acts.append(flat_m & (pen_p > 0))
 
+    # --- sphere vs tray walls (4 static OBBs) ---
+    if params.has_tray:
+        th = params.tray_half
+        wh = params.tray_wall_height
+        wall_c = jnp.array(
+            [
+                [th + 0.02, 0.0, 0.0],
+                [-(th + 0.02), 0.0, 0.0],
+                [0.0, th + 0.02, 0.0],
+                [0.0, -(th + 0.02), 0.0],
+            ],
+            jnp.float32,
+        ) + jnp.array([0.0, 0.0, params.support_z + wh * 0.5])[None]
+        wall_he = jnp.array(
+            [
+                [0.02, th + 0.04, wh * 0.5],
+                [0.02, th + 0.04, wh * 0.5],
+                [th + 0.04, 0.02, wh * 0.5],
+                [th + 0.04, 0.02, wh * 0.5],
+            ],
+            jnp.float32,
+        )
+        eye = jnp.eye(3, dtype=jnp.float32)
+        for w in range(4):
+            thin_ax = 0 if w < 2 else 1
+            # push escaped spheres back toward the tray center
+            wall_sign = [-1.0, 1.0, -1.0, 1.0][w]
+            n_w, pen_w, pt_w, touch_w = jax.vmap(
+                lambda c, r, w=w, a=thin_ax, sg=wall_sign: _sphere_box_contact(
+                    c, r, wall_c[w], eye, wall_he[w], inside_axis=a, inside_sign=sg
+                )
+            )(flat_c, flat_r)
+            pts.append(pt_w); nrms.append(n_w); pens.append(pen_w)
+            ias.append(flat_ia)
+            bkinds.append(jnp.zeros(K * S, jnp.int32))
+            ibs.append(jnp.zeros(K * S, jnp.int32))
+            acts.append(flat_m & touch_w)
+
+
     # --- sphere vs finger pads ---
     for pad_idx in range(2):
         n_b, pen_b, pt_b, touch = jax.vmap(
-            lambda c, r: _sphere_box_contact(c, r, pads[pad_idx], Rg, PAD_HALF_EXTENTS)
+            lambda c, r, sgn=(1.0 if pad_idx == 0 else -1.0): _sphere_box_contact(
+                c, r, pads[pad_idx], Rg, PAD_HALF_EXTENTS,
+                inside_axis=0, inside_sign=sgn,
+            )
         )(flat_c, flat_r)
         pts.append(pt_b); nrms.append(n_b); pens.append(pen_b)
         ias.append(flat_ia)
@@ -205,39 +261,13 @@ def _collect_contacts(state: SimState, params: SimParams):
         ibs.append(jnp.repeat(jj, S * S))
         acts.append((m_ss & (pen_ss > 0)).reshape(P * S * S))
 
-    # --- sphere vs tray walls (4 static OBBs) ---
-    if params.has_tray:
-        th = params.tray_half
-        wh = params.tray_wall_height
-        wall_c = jnp.array(
-            [
-                [th + 0.02, 0.0, 0.0],
-                [-(th + 0.02), 0.0, 0.0],
-                [0.0, th + 0.02, 0.0],
-                [0.0, -(th + 0.02), 0.0],
-            ],
-            jnp.float32,
-        ) + jnp.array([0.0, 0.0, params.support_z + wh * 0.5])[None]
-        wall_he = jnp.array(
-            [
-                [0.02, th + 0.04, wh * 0.5],
-                [0.02, th + 0.04, wh * 0.5],
-                [th + 0.04, 0.02, wh * 0.5],
-                [th + 0.04, 0.02, wh * 0.5],
-            ],
-            jnp.float32,
-        )
-        eye = jnp.eye(3, dtype=jnp.float32)
-        for w in range(4):
-            n_w, pen_w, pt_w, touch_w = jax.vmap(
-                lambda c, r, w=w: _sphere_box_contact(c, r, wall_c[w], eye, wall_he[w])
-            )(flat_c, flat_r)
-            pts.append(pt_w); nrms.append(n_w); pens.append(pen_w)
-            ias.append(flat_ia)
-            bkinds.append(jnp.zeros(K * S, jnp.int32))
-            ibs.append(jnp.zeros(K * S, jnp.int32))
-            acts.append(flat_m & touch_w)
-
+    # Category boundaries for the sequential solve: statics (plane+walls),
+    # left pad, right pad, object-object.
+    n_static = K * S * (1 + (4 if params.has_tray else 0))
+    n_pad = K * S
+    bounds = [0, n_static, n_static + n_pad, n_static + 2 * n_pad]
+    total = sum(a.shape[0] for a in pens)
+    bounds.append(total)
     return dict(
         point=jnp.concatenate(pts),
         normal=jnp.concatenate(nrms),
@@ -246,6 +276,7 @@ def _collect_contacts(state: SimState, params: SimParams):
         b_kind=jnp.concatenate(bkinds),
         ib=jnp.concatenate(ibs),
         active=jnp.concatenate(acts),
+        bounds=tuple(bounds),
     )
 
 
@@ -272,7 +303,8 @@ def _gripper_jacobian(contacts, base, axes):
     return G
 
 
-def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world):
+def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
+                    warm_lams=None, motor_plan=None):
     """Projected Jacobi impulse solver. Returns updated (V, W, qd)."""
     K = V.shape[0]
     N = contacts["point"].shape[0]
@@ -312,90 +344,182 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world):
     w_t1 = w_dir(t1)
     w_t2 = w_dir(t2)
 
-    bias = params.baumgarte / params.dt * jnp.maximum(contacts["pen"] - params.slop, 0.0)
+    bias = jnp.minimum(
+        params.baumgarte / params.dt
+        * jnp.maximum(contacts["pen"] - params.slop, 0.0),
+        params.max_bias_velocity,
+    )
     mu = params.friction
     omega = params.relaxation
 
-    def rel_vel(V, W, qd):
-        v_a = V[ia] + jnp.cross(W[ia], r_a)
-        v_b_obj = (V[ib] + jnp.cross(W[ib], r_b)) * is_obj_b[:, None]
-        v_b_pad = _einsum("ngi,g->ni", G, qd)
+    def rel_vel(V, W, qd, s, e):
+        v_a = V[ia[s:e]] + jnp.cross(W[ia[s:e]], r_a[s:e])
+        v_b_obj = (V[ib[s:e]] + jnp.cross(W[ib[s:e]], r_b[s:e])) * is_obj_b[s:e, None]
+        v_b_pad = _einsum("ngi,g->ni", G[s:e], qd)
         return v_a - v_b_obj - v_b_pad
 
-    def apply_impulse(V, W, qd, P):
-        """Apply world impulses P (N,3): +P to object a, -P to b."""
-        Pm = P * actf[:, None]
-        dV_a = Pm * inv_m_a[:, None]
-        dW_a = _einsum("nij,nj->ni", iI_a, jnp.cross(r_a, Pm))
-        V = V + jax.ops.segment_sum(dV_a, ia, num_segments=K)
-        W = W + jax.ops.segment_sum(dW_a, ia, num_segments=K)
-        Pb = Pm * is_obj_b[:, None]
-        dV_b = Pb * inv_m_b[:, None]
-        dW_b = _einsum("nij,nj->ni", iI_b, jnp.cross(r_b, Pb))
-        V = V - jax.ops.segment_sum(dV_b, ib, num_segments=K)
-        W = W - jax.ops.segment_sum(dW_b, ib, num_segments=K)
-        dqd = -_einsum("ngi,ni->ng", G, Pm) * inv_dof_mass[None]
+    def apply_impulse(V, W, qd, P, s, e):
+        """Apply world impulses P (slice,3): +P to object a, -P to b."""
+        Pm = P * actf[s:e, None]
+        dV_a = Pm * inv_m_a[s:e, None]
+        dW_a = _einsum("nij,nj->ni", iI_a[s:e], jnp.cross(r_a[s:e], Pm))
+        V = V + jax.ops.segment_sum(dV_a, ia[s:e], num_segments=K)
+        W = W + jax.ops.segment_sum(dW_a, ia[s:e], num_segments=K)
+        Pb = Pm * is_obj_b[s:e, None]
+        dV_b = Pb * inv_m_b[s:e, None]
+        dW_b = _einsum("nij,nj->ni", iI_b[s:e], jnp.cross(r_b[s:e], Pb))
+        V = V - jax.ops.segment_sum(dV_b, ib[s:e], num_segments=K)
+        W = W - jax.ops.segment_sum(dW_b, ib[s:e], num_segments=K)
+        dqd = -_einsum("ngi,ni->ng", G[s:e], Pm) * inv_dof_mass[None]
         qd = qd + dqd.sum(0)
         return V, W, qd
 
-    def iteration(carry, _):
-        V, W, qd, lam_n, lam_t1, lam_t2 = carry
-        v = rel_vel(V, W, qd)
-        # Normal
-        v_n = _einsum("ni,ni->n", v, n)
-        dl_n = (bias - v_n) / w_n * omega
+    def solve_category(V, W, qd, lam, s, e, om=None, bias_scale=1.0):
+        """One projected-impulse pass over contacts [s:e) (Jacobi within)."""
+        om = omega if om is None else om
+        lam_n, lam_t1, lam_t2 = lam
+        v = rel_vel(V, W, qd, s, e)
+        v_n = jnp.sum(v * n[s:e], -1)
+        dl_n = (bias_scale * bias[s:e] - v_n) / w_n[s:e] * om
         lam_n_new = jnp.maximum(lam_n + dl_n, 0.0)
         dl_n = lam_n_new - lam_n
-        # Friction (clamped to cone of the *updated* normal impulse)
-        v_t1 = _einsum("ni,ni->n", v, t1)
-        v_t2 = _einsum("ni,ni->n", v, t2)
-        lt1 = lam_t1 - v_t1 / w_t1 * omega
-        lt2 = lam_t2 - v_t2 / w_t2 * omega
+        v_t1 = jnp.sum(v * t1[s:e], -1)
+        v_t2 = jnp.sum(v * t2[s:e], -1)
+        lt1 = lam_t1 - v_t1 / w_t1[s:e] * om
+        lt2 = lam_t2 - v_t2 / w_t2[s:e] * om
         t_norm = jnp.sqrt(lt1**2 + lt2**2)
         scale = jnp.minimum(1.0, mu * lam_n_new / jnp.maximum(t_norm, 1e-9))
         lt1 = lt1 * scale
         lt2 = lt2 * scale
-        dl_t1 = lt1 - lam_t1
-        dl_t2 = lt2 - lam_t2
-        P = dl_n[:, None] * n + dl_t1[:, None] * t1 + dl_t2[:, None] * t2
-        V, W, qd = apply_impulse(V, W, qd, P)
-        return (V, W, qd, lam_n_new, lt1, lt2), None
+        P = (
+            dl_n[:, None] * n[s:e]
+            + (lt1 - lam_t1)[:, None] * t1[s:e]
+            + (lt2 - lam_t2)[:, None] * t2[s:e]
+        )
+        V, W, qd = apply_impulse(V, W, qd, P, s, e)
+        return V, W, qd, (lam_n_new, lt1, lt2)
 
-    lam0 = jnp.zeros(N)
-    (V, W, qd, _, _, _), _ = jax.lax.scan(
-        iteration, (V, W, qd, lam0, lam0, lam0), None, length=params.solver_iterations
+    # Category-sequential Gauss-Seidel: statics, left pad, right pad,
+    # object-object solved one after another inside each iteration.
+    # Sequential ordering is what makes the two-sided finger squeeze
+    # converge (pure Jacobi lets the fingers creep through the object);
+    # within a category the contacts are independent enough for relaxed
+    # Jacobi on the VPU.
+    bnds = contacts["bounds"]
+    cats = [
+        (bnds[i], bnds[i + 1])
+        for i in range(len(bnds) - 1)
+        if bnds[i + 1] > bnds[i]
+    ]
+
+    v_des, motor_cap = motor_plan
+    dof_mass = params.dof_mass
+
+    def solve_motor(qd, lam_m):
+        """Clamped motor rows: exact 1-D projection per gripper DOF."""
+        lam_new = jnp.clip(lam_m + (v_des - qd) * dof_mass, -motor_cap, motor_cap)
+        qd = qd + (lam_new - lam_m) / dof_mass
+        return qd, lam_new
+
+    # Category roles: cats[0] statics, cats[1] left pad, cats[2] right pad,
+    # cats[3] (optional) object-object.
+    def iteration(carry, _):
+        V, W, qd, lam_m, lams = carry
+        lams = list(lams)
+        V, W, qd, lams[0] = solve_category(V, W, qd, lams[0], *cats[0])
+        # The two-pad squeeze is a light body shuttling between two heavy
+        # force-capped actuators — plain GS converges at the mass-ratio
+        # rate. Give the (motor, padL, padR) subsystem its own inner loop
+        # with near-unity relaxation; the rows are few so this is cheap.
+        def pad_pass(carry, _):
+            V, W, qd, lam_m, lamL, lamR = carry
+            qd, lam_m = solve_motor(qd, lam_m)
+            V, W, qd, lamL = solve_category(
+                V, W, qd, lamL, *cats[1], om=params.pad_omega,
+                bias_scale=params.pad_bias_scale)
+            V, W, qd, lamR = solve_category(
+                V, W, qd, lamR, *cats[2], om=params.pad_omega,
+                bias_scale=params.pad_bias_scale)
+            return (V, W, qd, lam_m, lamL, lamR), None
+
+        (V, W, qd, lam_m, lams[1], lams[2]), _ = jax.lax.scan(
+            pad_pass, (V, W, qd, lam_m, lams[1], lams[2]), None,
+            length=params.pad_inner_iterations,
+        )
+        for ci in range(3, len(cats)):
+            V, W, qd, lams[ci] = solve_category(V, W, qd, lams[ci], *cats[ci])
+        return (V, W, qd, lam_m, tuple(lams)), None
+
+    # Warm start: contact slots have stable identity (slot = sphere x
+    # category), so the previous substep's impulses are a near-perfect
+    # initial guess. Apply them up front, then iterate. This is what lets
+    # friction fully converge while lifting a squeezed object (without it,
+    # tangential impulses rebuild from zero each substep and the object
+    # slips ~1 mm/substep out of the grasp).
+    if warm_lams is None:
+        lam0 = tuple(
+            (jnp.zeros(e - s), jnp.zeros(e - s), jnp.zeros(e - s)) for s, e in cats
+        )
+    else:
+        lam0 = []
+        for (s, e), lam in zip(cats, warm_lams):
+            ln, lt1_, lt2_, n_old = lam
+            # gate by contact-direction continuity (cos^2, clamped at 0):
+            # a contact whose normal rotated since last substep must not
+            # receive yesterday's impulse along today's direction.
+            cont = jnp.clip(jnp.sum(n_old * n[s:e], -1), 0.0, 1.0) ** 2
+            scale = params.warm_start * actf[s:e] * cont
+            ln, lt1_, lt2_ = ln * scale, lt1_ * scale, lt2_ * scale
+            P0 = ln[:, None] * n[s:e] + lt1_[:, None] * t1[s:e] + lt2_[:, None] * t2[s:e]
+            V, W, qd = apply_impulse(V, W, qd, P0, s, e)
+            lam0.append((ln, lt1_, lt2_))
+        lam0 = tuple(lam0)
+    lam_m0 = jnp.zeros(6)
+    (V, W, qd, _, lams), _ = jax.lax.scan(
+        iteration, (V, W, qd, lam_m0, lam0), None, length=params.solver_iterations
     )
-    return V, W, qd
+    # attach this substep's contact normals for warm-start gating
+    lams = tuple(
+        lam + (n[s:e],) for (s, e), lam in zip(cats, lams)
+    )
+    return V, W, qd, lams
 
 
-def _servo_qd(q, qd, target, finger_target, params):
-    """Force-capped position servo per DOF (time-optimal velocity profile).
+def _servo_plan(q, target, finger_target, params):
+    """Position-servo plan per DOF: desired velocity + motor impulse cap.
 
     Mirrors Bullet POSITION_CONTROL with max force (model.py:69-74): drive at
     the largest velocity that can still brake to rest at the target given the
-    force cap, limited per-substep by the cap itself.
+    force cap. The motor is solved as a clamped constraint row INSIDE the
+    contact solver (like Bullet's joint motors living in the same LCP): an
+    unconditional velocity overwrite would re-accelerate stalled fingers
+    into the held object every substep and the contacts would have to
+    rebuild the full opposing impulse from scratch, causing slow crushing.
     """
     full_target = jnp.concatenate([target, jnp.array([finger_target, finger_target])])
     err = full_target - q
     a_max = params.dof_force / params.dof_mass
-    dv_max = a_max * params.dt
     # Braking capacity: gravity eats into the z DOF's force budget, so plan
     # the approach with the worst-case (downhill) deceleration.
     g_load = jnp.array([0.0, 0.0, -params.gravity, 0.0, 0.0, 0.0], jnp.float32)
     a_brake = jnp.maximum(0.8 * a_max - g_load, 0.5)
     v_stop = jnp.sqrt(2.0 * a_brake * jnp.abs(err))
-    v_des = jnp.sign(err) * jnp.minimum(jnp.abs(err) / params.dt, v_stop)
-    return qd + jnp.clip(v_des - qd, -dv_max, dv_max)
+    v_des = jnp.sign(err) * jnp.minimum(
+        jnp.minimum(jnp.abs(err) / params.dt, v_stop), params.dof_vmax
+    )
+    cap = params.dof_force * params.dt  # max motor impulse per substep
+    return v_des, cap
 
 
-def substep(state: SimState, params: SimParams) -> SimState:
+def substep(state: SimState, params: SimParams, warm_lams=None):
     g = state.gripper
     obj = state.objects
     dt = params.dt
 
-    # 1. Free-velocity update: gravity + damping + servos.
+    # 1. Free-velocity update: gravity + damping; servos become motor rows
+    # inside the solver.
     qd = g.qd.at[2].add(params.gravity * dt)  # gravity on the z DOF subtree
-    qd = _servo_qd(g.q, qd, g.target, g.finger_target, params)
+    motor_plan = _servo_plan(g.q, g.target, g.finger_target, params)
 
     V = obj.linvel + _EZ * (params.gravity * dt)
     V = V * (1.0 - params.lin_damping * dt)
@@ -407,7 +531,9 @@ def substep(state: SimState, params: SimParams) -> SimState:
         "kij,kj,klj->kil", R, params.inv_inertia[obj.obj_type], R
     )
     contacts = _collect_contacts(state, params)
-    V, W, qd = _solve_contacts(state, params, contacts, V, W, qd, inv_I_world)
+    V, W, qd, lams = _solve_contacts(
+        state, params, contacts, V, W, qd, inv_I_world, warm_lams, motor_plan
+    )
 
     # 3. Integrate.
     alive_f = obj.alive[:, None].astype(jnp.float32)
@@ -430,8 +556,16 @@ def substep(state: SimState, params: SimParams) -> SimState:
     f = jnp.clip(q[4:6], FINGER_LIMIT_LOW, FINGER_LIMIT_HIGH)
     qd = qd.at[4:6].set(jnp.where(f != q[4:6], 0.0, qd[4:6]))
     q = q.at[4:6].set(f)
+    # Fingertips rest on the support surface: the z servo stalls there
+    # (drives SimplifiedReward's stall-FAIL, rewards.py:81-84, and keeps
+    # the hand from punching through the tray as Bullet's finger collision
+    # shapes would prevent).
+    floor_q2 = params.support_z + PAD_CENTER_DEPTH + PAD_HALF_EXTENTS[2]
+    hit_floor = q[2] < floor_q2
+    q = q.at[2].set(jnp.maximum(q[2], floor_q2))
+    qd = qd.at[2].set(jnp.where(hit_floor, jnp.maximum(qd[2], 0.0), qd[2]))
 
-    return SimState(
+    new_state = SimState(
         gripper=GripperState(
             q=q, qd=qd, target=g.target, finger_target=g.finger_target,
             gripper_close=g.gripper_close, ee_angle=g.ee_angle,
@@ -441,13 +575,24 @@ def substep(state: SimState, params: SimParams) -> SimState:
             obj_type=obj.obj_type, alive=obj.alive,
         ),
     )
+    return new_state, lams
 
 
 def run(state: SimState, params: SimParams, n_substeps: int) -> SimState:
-    """Advance the world `n_substeps` x dt (reference World.run, simulation.py:49)."""
-    def body(s, _):
-        return substep(s, params), None
-    state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+    """Advance the world `n_substeps` x dt (reference World.run, simulation.py:49).
+
+    Contact impulses are warm-started across substeps within the run.
+    """
+    state, lams = substep(state, params, None)
+
+    def body(carry, _):
+        s, lams = carry
+        s, lams = substep(s, params, lams)
+        return (s, lams), None
+
+    (state, _), _ = jax.lax.scan(
+        body, (state, lams), None, length=n_substeps - 1
+    )
     return state
 
 

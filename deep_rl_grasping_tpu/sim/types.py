@@ -77,8 +77,8 @@ class SimParams:
     slop: float = 1e-4
     relaxation: float = 0.35
     gravity: float = -9.81
-    lin_damping: float = 0.04
-    ang_damping: float = 0.04
+    lin_damping: float = 0.2
+    ang_damping: float = 1.0
     # Gripper effective masses per DOF [x, y, z, yaw(inertia), f_l, f_r]
     dof_mass: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.array([6.0, 6.0, 6.0, 0.1, 0.4, 0.4], jnp.float32)
@@ -87,6 +87,24 @@ class SimParams:
     dof_force: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.array([100.0, 100.0, 100.0, 20.0, 100.0, 100.0], jnp.float32)
     )
+    # Servo velocity caps: Bullet position motors implicitly bound speed;
+    # uncapped dead-beat servos tunnel fingers through objects in a couple
+    # of substeps. Finger cap ~ WSG-50 jaw speed (0.35 m/s closes 5 cm well
+    # within the 0.2 s gripper schedule).
+    dof_vmax: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([1.5, 1.5, 1.5, 6.0, 0.25, 0.25], jnp.float32)
+    )
+    # Cap on the Baumgarte separation velocity so deep penetrations are
+    # resolved over a few substeps instead of one explosive impulse.
+    max_bias_velocity: float = 1.0
+    # Fraction of the previous substep's contact impulses applied as the
+    # initial guess (contact slots have stable identity across substeps).
+    warm_start: float = 0.9
+    # Inner alternations of (finger motors, left pad, right pad) per solver
+    # iteration — resolves the stiff two-pad squeeze subsystem.
+    pad_inner_iterations: int = struct.field(pytree_node=False, default=14)
+    pad_omega: float = 0.4
+    pad_bias_scale: float = 0.1
     # Object library (dense arrays, set at build time)
     centers: jnp.ndarray = None     # (T, S, 3)
     radii: jnp.ndarray = None       # (T, S)

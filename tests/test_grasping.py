@@ -1,0 +1,147 @@
+"""End-to-end task behavior: a scripted grasp must succeed.
+
+These are the tests the reference lacks entirely (SURVEY.md §4): they close
+the loop physics -> detection -> reward -> status that training depends on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_rl_grasping_tpu.envs import rewards as rew
+from deep_rl_grasping_tpu.envs.grasp_env import GraspEnv
+from deep_rl_grasping_tpu.sim.types import FINGER_OPEN
+from deep_rl_grasping_tpu.utils import config as cfg_util
+
+
+def _center_object_env(config_path, **env_kw):
+    """Env with one object forced to the workspace center under the gripper."""
+    cfg = cfg_util.load_config(config_path)
+    cfg["curriculum"]["extent"] = [0.0001, 0.0001]  # objects at origin
+    cfg["curriculum"]["max_objects"] = [1, 1]
+    cfg["curriculum"]["min_objects"] = [1, 1]
+    return GraspEnv(cfg, **env_kw)
+
+
+@pytest.mark.slow
+def test_full_env_scripted_grasp_succeeds():
+    env = _center_object_env("tests/configs/test_continuous.yaml")
+    lam = jnp.asarray(0.0)
+    state, obs = jax.jit(lambda k: env.reset(k, lam))(jax.random.PRNGKey(3))
+    step = jax.jit(lambda s, a: env.step(s, a, lam))
+
+    descend = jnp.array([0.0, 0.0, 1.0, 0.0, 1.0], jnp.float32)
+    close = jnp.array([0.0, 0.0, 0.0, 0.0, -1.0], jnp.float32)
+    lift = jnp.array([0.0, 0.0, -1.0, 0.0, 0.0], jnp.float32)
+
+    # Descend until near the surface (robot_height 0.18 -> ~0.08, 10 x 0.01)
+    total_reward = 0.0
+    success = False
+    for _ in range(11):
+        state, obs, r, done, info = step(state, descend)
+        total_reward += float(r)
+    state, obs, r, done, info = step(state, close)
+    detected_after_close = env.object_detected(state.sim)
+    for _ in range(12):
+        state, obs, r, done, info = step(state, lift)
+        total_reward += float(r)
+        if bool(done):
+            success = bool(info["is_success"])
+            break
+    assert bool(detected_after_close), "gripper failed to grab the object"
+    assert success, "scripted grasp did not reach SUCCESS"
+    # terminal reward granted (test config terminal_reward=10)
+    assert float(r) == 10.0
+
+
+@pytest.mark.slow
+def test_simplified_env_protocol_succeeds_over_object():
+    env = _center_object_env("tests/configs/test_simplified_cont.yaml")
+    lam = jnp.asarray(0.0)
+    state, obs = jax.jit(lambda k: env.reset(k, lam))(jax.random.PRNGKey(5))
+    step = jax.jit(lambda s, a: env.step(s, a, lam))
+    # Zero action: auto-descend 5mm/step from 0.3 -> 0.07 in ~46 steps
+    zero = jnp.zeros(3, jnp.float32)
+    for i in range(60):
+        state, obs, r, done, info = step(state, zero)
+        if bool(done):
+            break
+    assert bool(done), "episode did not terminate"
+    assert int(info["status"]) in (rew.SUCCESS, rew.FAIL)
+    assert bool(info["is_success"]), (
+        "descend-and-grasp protocol failed over a centered object"
+    )
+    assert float(r) == 1.0
+
+
+@pytest.mark.slow
+def test_table_clearing_removes_objects():
+    cfg = cfg_util.load_config("tests/configs/test_continuous.yaml")
+    cfg["curriculum"]["extent"] = [0.02, 0.02]
+    cfg["curriculum"]["max_objects"] = [2, 2]
+    cfg["curriculum"]["min_objects"] = [2, 2]
+    cfg["reward"].update(
+        custom=True, table_clearing=True, terminal_reward=100.0,
+        lift_success=10.0, time_penalty=1.0, shaped=True,
+    )
+    env = GraspEnv(cfg)
+    lam = jnp.asarray(0.0)
+    state, obs = jax.jit(lambda k: env.reset(k, lam))(jax.random.PRNGKey(0))
+    step = jax.jit(lambda s, a: env.step(s, a, lam))
+    n0 = int(jnp.sum(state.sim.objects.alive.astype(jnp.int32)))
+
+    close = jnp.array([0.0, 0.0, 0.0, 0.0, -1.0], jnp.float32)
+    lift = jnp.array([0.0, 0.0, -1.0, 0.0, 0.0], jnp.float32)
+    # Steer over the highest object, then descend (actions are gripper-local:
+    # dx_local = dx_world, dy_local = -dy_world at yaw 0; robot.py:251-262).
+    for _ in range(18):
+        obj = state.sim.objects
+        z = jnp.where(obj.alive, obj.pos[:, 2], -jnp.inf)
+        target_xy = obj.pos[jnp.argmax(z), :2]
+        q = state.sim.gripper.q
+        err = np.asarray(target_xy - q[:2])
+        act = np.zeros(5, np.float32)
+        act[0] = np.clip(err[0] / 0.01, -1, 1)
+        act[1] = np.clip(-err[1] / 0.01, -1, 1)
+        act[2] = 1.0 if float(q[2]) > 0.085 else 0.0
+        act[4] = 1.0
+        state, obs, r, done, info = step(state, jnp.asarray(act))
+        if float(state.sim.gripper.q[2]) <= 0.085 and np.linalg.norm(err) < 0.004:
+            break
+    state, obs, r, done, info = step(state, close)
+    cleared = False
+    for _ in range(12):
+        state, obs, r, done, info = step(state, lift)
+        n_now = int(jnp.sum(state.sim.objects.alive.astype(jnp.int32)))
+        if n_now < n0:
+            cleared = True
+            # lift_success reward, episode continues (rewards.py:119-122)
+            assert float(r) == 10.0
+            assert not bool(done)
+            break
+    assert cleared, "table clearing never removed the lifted object"
+    # gripper reopened after the clear
+    assert float(state.sim.gripper.finger_target) == FINGER_OPEN
+
+
+def test_fail_on_stall_simplified():
+    """SimplifiedReward stall detection: pressing into the floor with no
+    horizontal progress FAILs (rewards.py:81-84)."""
+    cfg = cfg_util.load_config("tests/configs/test_simplified_cont.yaml")
+    # no objects in reach: spawn them far out by making extent tiny but
+    # placing the gripper hunt elsewhere is not possible -> rely on stall:
+    cfg["curriculum"]["robot_height"] = [0.3, 0.3]
+    env = GraspEnv(cfg)
+    lam = jnp.asarray(0.0)
+    state, obs = jax.jit(lambda k: env.reset(k, lam))(jax.random.PRNGKey(1))
+    step = jax.jit(lambda s, a: env.step(s, a, lam))
+    # Command pure yaw rotation: auto-descend still happens (5 mm), so the
+    # robot falls until it reaches 0.07 or stalls on an object pile.
+    act = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    done = False
+    for i in range(env.time_horizon):
+        state, obs, r, done, info = step(state, act)
+        if bool(done):
+            break
+    assert bool(done)
