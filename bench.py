@@ -6,6 +6,7 @@ Baseline: the reference steps the same task at ~11.2 env steps/s on CPU
 (BASELINE.md: SAC_depth_1mbuffer monitor log, step+render+train).
 """
 
+import functools
 import json
 import os
 import sys
@@ -41,7 +42,7 @@ def main():
     curriculum = benv.init_curriculum()
     algo_state = sac.init(k_algo)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=5)
     def rollout(states, obs, curriculum, actor_params, key, n):
         def body(carry, _):
             states, obs, cur, k = carry
