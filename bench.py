@@ -24,7 +24,7 @@ BASELINE_STEPS_PER_S = 11.2
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "512"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     from deep_rl_grasping_tpu.envs import curriculum as curr_mod

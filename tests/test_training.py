@@ -1,0 +1,143 @@
+"""End-to-end training-loop tests: off-policy (SAC/DQN/BDQ/DDPG) and
+on-policy (PPO/TRPO) trainers step the real env, fill buffers, update
+learners, and checkpoints round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_rl_grasping_tpu.training.trainer import Trainer
+from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
+from deep_rl_grasping_tpu.utils import config as cfg_util
+
+
+def _cfg(simplified=False, discrete=False, **algo_blocks):
+    path = (
+        "tests/configs/test_simplified_cont.yaml"
+        if simplified
+        else "tests/configs/test_continuous.yaml"
+    )
+    cfg = cfg_util.load_config(path)
+    cfg["tpu"]["num_envs"] = 4
+    cfg["robot"]["discrete"] = discrete
+    cfg["normalize"] = True
+    cfg.update(algo_blocks)
+    return cfg
+
+
+@pytest.mark.parametrize("algo,discrete", [("SAC", False), ("DDPG", False)])
+def test_offpolicy_continuous_trainers(algo, discrete):
+    cfg = _cfg(
+        SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16]},
+        DDPG={"batch_size": 8, "buffer_size": 128},
+    )
+    cfg[algo]["buffer_size"] = 128
+    tr = Trainer(cfg, algo=algo)
+    tr.learning_starts = 8
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_step)
+    for _ in range(4):
+        state, metrics = step(state)
+    assert int(state.buffer.size) == 16
+    assert int(state.global_step) == 16
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_dqn_trainer_discrete():
+    cfg = _cfg(discrete=True, DQN={"batch_size": 8, "buffer_size": 128,
+                                   "prioritized_replay": True})
+    tr = Trainer(cfg, algo="DQN")
+    tr.learning_starts = 8
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_step)
+    for _ in range(4):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    # priorities were touched by updates
+    assert float(jnp.max(state.buffer.priority)) > 0
+
+
+def test_bdq_trainer_simplified():
+    cfg = _cfg(simplified=True, BDQ={
+        "batch_size": 8, "buffer_size": 128, "num_actions_pad": 5,
+        "layers": [[16, 16], [8], [8]], "learning_starts": 8,
+    })
+    tr = Trainer(cfg, algo="BDQ")
+    tr.learning_starts = 8
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_step)
+    for _ in range(3):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    # branched actions stored as (B, 3) bins
+    assert state.buffer.action.shape[-1] == 3
+
+
+@pytest.mark.parametrize("algo", ["PPO", "TRPO"])
+def test_onpolicy_trainers(algo):
+    cfg = _cfg(
+        PPO={"n_steps": 4, "n_epochs": 2, "n_minibatches": 2, "layers": [16, 16]},
+        TRPO={"n_steps": 4, "cg_iters": 4, "vf_iters": 1},
+    )
+    tr = OnPolicyTrainer(cfg, algo=algo)
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_iteration)
+    state, metrics = step(state)
+    state, metrics = step(state)
+    assert int(state.global_step) == 2 * 4 * 4
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from deep_rl_grasping_tpu.training.callbacks import Checkpointer
+
+    cfg = _cfg(SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16]})
+    tr = Trainer(cfg, algo="SAC")
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    ckpt = Checkpointer(str(tmp_path / "model"))
+    ckpt.save(100, state.algo_state)
+    ckpt.wait()
+    zeroed = jax.tree.map(jnp.zeros_like, state.algo_state)
+    restored = ckpt.restore(zeroed)
+    orig = jax.tree.leaves(state.algo_state.actor_params)[0]
+    rest = jax.tree.leaves(restored.actor_params)[0]
+    np.testing.assert_allclose(np.asarray(orig), np.asarray(rest))
+    assert ckpt.latest_step() == 100
+
+
+def test_monitor_and_scalar_loggers(tmp_path):
+    from deep_rl_grasping_tpu.training.callbacks import (
+        CurriculumLogger,
+        MonitorLogger,
+        ScalarLogger,
+    )
+
+    d = str(tmp_path / "logs")
+    mon = MonitorLogger(d)
+    mon.log(12.5, 34.0, 0.75)
+    mon.log(13.5, 30.0, 0.8)
+    mon.close()
+    lines = open(os.path.join(d, "log_file.monitor.csv")).read().splitlines()
+    assert lines[0].startswith("#")
+    assert lines[1] == "r,l,t,s"
+    assert len(lines) == 4
+
+    sc = ScalarLogger(d)
+    sc.log(100, {"loss": 1.0, "sr": 0.5})
+    sc.log(200, {"loss": 0.5, "sr": 0.6})
+    sc.close()
+    rows = open(os.path.join(d, "logs.csv")).read().splitlines()
+    assert rows[0] == "step,loss,sr"
+    assert len(rows) == 3
+
+    cl = CurriculumLogger(d)
+    cl.log(2, 0.125)
+    cl.log(2, 0.125)  # same iteration -> no duplicate
+    cl.log(3, 0.25)
+    steps = open(os.path.join(d, "curriculum_steps.csv")).read().splitlines()
+    assert len(steps) == 2
