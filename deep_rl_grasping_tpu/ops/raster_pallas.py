@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: fused depth + segmentation ray-caster.
+
+The XLA renderer (render/raycast.py) materializes a (pixels x primitives)
+tensor per env in HBM between the intersection and the argmin-reduce. This
+kernel keeps the whole working set in VMEM: one grid step renders one env's
+64x64 image, looping over sphere primitives in registers and reducing
+in-place — no HBM intermediates, no per-op dispatch overhead.
+
+Geometry is pre-gathered per env OUTSIDE the kernel (world-space sphere
+centers/radii/ids, gripper boxes), so the kernel sees only dense arrays:
+
+  spheres:     centers (B, P, 3), radii (B, P), ids (B, P)
+  gripper:     box centers (B, 3, 3), shared yaw rotation (B, 3, 3)
+  camera:      origin (B, 3), cam-to-world R (B, 3, 3), intrinsics (B, 4)
+
+Returns depth (B, H, W) metric Z_c and seg ids (B, H, W) int32 with the
+same id conventions as raycast.render. Use `interpret=True` for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deep_rl_grasping_tpu.sim import physics
+from deep_rl_grasping_tpu.sim.types import (
+    BASE_CENTER_DEPTH,
+    BASE_HALF_EXTENTS,
+    PAD_HALF_EXTENTS,
+)
+
+NEG_BIG = 1e9
+
+
+def _raster_kernel(
+    sph_c_ref, sph_r_ref, sph_id_ref,
+    box_c_ref, box_R_ref,
+    cam_o_ref, cam_R_ref, intr_ref,
+    depth_ref, seg_ref,
+    *, H, W, P, num_boxes, box_he, box_ids,
+    plane_z, near, far, plane_seg_mode, tray_half,
+):
+    # ---- rays ---------------------------------------------------------
+    fx = intr_ref[0, 0]
+    fy = intr_ref[0, 1]
+    cx = intr_ref[0, 2]
+    cy = intr_ref[0, 3]
+    u = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5 - cx) / fx
+    v = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 - cy) / fy
+    R = cam_R_ref[0]  # (3,3) cam->world
+    # world ray dirs; ray parameter t == camera-frame Z (z_cam=1 rays)
+    dx = R[0, 0] * u + R[0, 1] * v + R[0, 2]
+    dy = R[1, 0] * u + R[1, 1] * v + R[1, 2]
+    dz = R[2, 0] * u + R[2, 1] * v + R[2, 2]
+    ox = cam_o_ref[0, 0]
+    oy = cam_o_ref[0, 1]
+    oz = cam_o_ref[0, 2]
+
+    best_t = jnp.full((H, W), jnp.inf, jnp.float32)
+    best_id = jnp.full((H, W), -1, jnp.int32)
+
+    # ---- support plane --------------------------------------------------
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    t_p = (plane_z - oz) / dz_safe
+    valid = (t_p > near) & (t_p < far)
+    if plane_seg_mode == "table":
+        hx = ox + t_p * dx
+        hy = oy + t_p * dy
+        in_tray = (jnp.abs(hx) < tray_half) & (jnp.abs(hy) < tray_half)
+        pid = jnp.where(in_tray, 2, 1)
+    else:
+        pid = jnp.zeros((H, W), jnp.int32)
+    take = valid & (t_p < best_t)
+    best_t = jnp.where(take, t_p, best_t)
+    best_id = jnp.where(take, pid, best_id)
+
+    # ---- spheres (loop over primitive slots) ----------------------------
+    a = dx * dx + dy * dy + dz * dz
+
+    def sphere_body(i, carry):
+        best_t, best_id = carry
+        cxs = sph_c_ref[0, i, 0]
+        cys = sph_c_ref[0, i, 1]
+        czs = sph_c_ref[0, i, 2]
+        r = sph_r_ref[0, i]
+        ocx = ox - cxs
+        ocy = oy - cys
+        ocz = oz - czs
+        b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-b - sq) / (2.0 * a)
+        ok = (disc > 0) & (t > near) & (r > 0) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_id = jnp.where(ok, sph_id_ref[0, i], best_id)
+        return best_t, best_id
+
+    best_t, best_id = jax.lax.fori_loop(
+        0, P, sphere_body, (best_t, best_id)
+    )
+
+    # ---- gripper boxes (slab test, unrolled; shared rotation) -----------
+    Rg = box_R_ref[0]  # (3,3) box-to-world
+
+    for bi in range(num_boxes):
+        hex_, hey, hez = box_he[bi]
+        bcx = box_c_ref[0, bi, 0]
+        bcy = box_c_ref[0, bi, 1]
+        bcz = box_c_ref[0, bi, 2]
+        # origin/dir in box frame (R^T @ v)
+        rox = Rg[0, 0] * (ox - bcx) + Rg[1, 0] * (oy - bcy) + Rg[2, 0] * (oz - bcz)
+        roy = Rg[0, 1] * (ox - bcx) + Rg[1, 1] * (oy - bcy) + Rg[2, 1] * (oz - bcz)
+        roz = Rg[0, 2] * (ox - bcx) + Rg[1, 2] * (oy - bcy) + Rg[2, 2] * (oz - bcz)
+        rdx = Rg[0, 0] * dx + Rg[1, 0] * dy + Rg[2, 0] * dz
+        rdy = Rg[0, 1] * dx + Rg[1, 1] * dy + Rg[2, 1] * dz
+        rdz = Rg[0, 2] * dx + Rg[1, 2] * dy + Rg[2, 2] * dz
+
+        def slab(o1, d1, he):
+            d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
+            ta = (-he - o1) / d_safe
+            tb = (he - o1) / d_safe
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        lo1, hi1 = slab(rox, rdx, hex_)
+        lo2, hi2 = slab(roy, rdy, hey)
+        lo3, hi3 = slab(roz, rdz, hez)
+        tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
+        tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
+        t = jnp.where(tmin > 0, tmin, tmax)
+        ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_id = jnp.where(ok, box_ids[bi], best_id)
+
+    depth_ref[0] = jnp.minimum(jnp.where(jnp.isfinite(best_t), best_t, far), far)
+    seg_ref[0] = best_id
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "plane_seg_mode", "plane_z", "near", "far",
+                     "tray_half", "gripper_id", "interpret"),
+)
+def raster_depth_seg(
+    sph_centers, sph_radii, sph_ids,
+    box_centers, box_R,
+    cam_origin, cam_R, intrinsics,
+    *, H=64, W=64, plane_seg_mode="floor", plane_z=-0.196, near=0.02,
+    far=2.0, tray_half=0.21, gripper_id=6, interpret=False,
+):
+    """Batched fused render. sph_* leading dim B; see module docstring."""
+    B, P, _ = sph_centers.shape
+    num_boxes = box_centers.shape[1]
+    box_he = (PAD_HALF_EXTENTS, PAD_HALF_EXTENTS, BASE_HALF_EXTENTS)[:num_boxes]
+    box_ids = tuple([gripper_id] * num_boxes)
+
+    kernel = functools.partial(
+        _raster_kernel,
+        H=H, W=W, P=P, num_boxes=num_boxes, box_he=box_he, box_ids=box_ids,
+        plane_z=plane_z, near=near, far=far,
+        plane_seg_mode=plane_seg_mode, tray_half=tray_half,
+    )
+    grid = (B,)
+    in_specs = [
+        pl.BlockSpec((1, P, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, num_boxes, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    )
+    depth, seg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        sph_centers, sph_radii, sph_ids,
+        box_centers, box_R, cam_origin, cam_R, intrinsics,
+    )
+    return depth, seg
+
+
+def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,
+                        H=64, W=64, near=0.02, far=2.0, interpret=False):
+    """Adapter: batched SimState -> fused depth+seg render.
+
+    states: SimState with leading batch dim B. Returns (depth, seg) shaped
+    (B, H, W) with raycast.render's segmentation id layout.
+    """
+    B, K = states.objects.pos.shape[:2]
+    centers, radii, mask = jax.vmap(
+        lambda s: physics.world_spheres(s, params)
+    )(states)
+    S = radii.shape[-1]
+    obj_id0 = 3 if params.has_tray else 1
+    slot_ids = obj_id0 + jnp.repeat(jnp.arange(K), S)[None].repeat(B, 0)
+    flat_c = centers.reshape(B, K * S, 3)
+    flat_r = jnp.where(mask, radii, 0.0).reshape(B, K * S)
+
+    def gboxes(q):
+        base, Rg, pads, axes = physics.pad_frames(q)
+        base_box = base - jnp.array([0.0, 0.0, BASE_CENTER_DEPTH])
+        return jnp.stack([pads[0], pads[1], base_box]), Rg
+
+    box_c, box_R = jax.vmap(gboxes)(states.gripper.q)
+    gripper_id = (K + 3) if params.has_tray else (K + 1)
+    return raster_depth_seg(
+        flat_c, flat_r, slot_ids.astype(jnp.int32),
+        box_c, box_R, cam_pos, cam_R, intrinsics,
+        H=H, W=W,
+        plane_seg_mode="table" if params.has_tray else "floor",
+        plane_z=float(params.support_z), near=near, far=far,
+        tray_half=float(params.tray_half), gripper_id=int(gripper_id),
+        interpret=interpret,
+    )

@@ -40,6 +40,16 @@ OFF_POLICY = ("SAC", "DQN", "BDQ", "DDPG")
 ON_POLICY = ("PPO", "TRPO")
 
 
+def _bundle(state):
+    """Checkpoint payload: learner + normalizer + curriculum (the reference
+    persists model.zip + vecnormalize.pkl + curriculum CSV; sb_helper.py:228-247)."""
+    return {
+        "algo_state": state.algo_state,
+        "normalizer": state.normalizer,
+        "curriculum": state.curriculum,
+    }
+
+
 def train(args):
     config = cfg_util.load_config(args.config)
     algo = args.algo.upper()
@@ -80,6 +90,16 @@ def train(args):
         state = jax.jit(trainer.init_state)(jax.random.PRNGKey(args.seed))
         step_fn = jax.jit(trainer.train_iteration, donate_argnums=0)
         frames_per_chunk = trainer.algo.n_steps * trainer.num_envs
+
+    # Warm start (sb_helper load_parameters equivalent,
+    # sb_helper.py:97-115): restore learner params from a previous run.
+    if getattr(args, "load_dir", None):
+        prev = cb.Checkpointer(args.load_dir)
+        bundle = prev.restore(_bundle(state))
+        state = state.replace(
+            algo_state=bundle["algo_state"], normalizer=bundle["normalizer"]
+        )
+        logging.info("warm-started learner from %s", args.load_dir)
 
     monitor = cb.MonitorLogger(model_dir)
     scalars = cb.ScalarLogger(model_dir)
@@ -125,20 +145,20 @@ def train(args):
             )
 
             if frames - last_ckpt >= checkpoint_freq:
-                ckpt.save(frames, state.algo_state)
+                ckpt.save(frames, _bundle(state))
                 last_ckpt = frames
             if frames - last_eval >= eval_freq and algo in OFF_POLICY:
                 res = trainer.evaluate(state.algo_state, state.normalizer)
                 res = {k: float(v) for k, v in res.items()}
                 logging.info("eval @ %d: %s", frames, res)
                 scalars.log(frames, {"eval_" + k: v for k, v in res.items()})
-                if ckpt.save_best(frames, state.algo_state, res["mean_return"]):
+                if ckpt.save_best(frames, _bundle(state), res["mean_return"]):
                     logging.info("new best model (return %.1f)", res["mean_return"])
                 last_eval = frames
     except KeyboardInterrupt:
         logging.info("interrupted; saving model (sb_helper.py:174-179 behavior)")
 
-    ckpt.save(max(frames, 1), state.algo_state)
+    ckpt.save(max(frames, 1), _bundle(state))
     ckpt.wait()
     monitor.close()
     scalars.close()
@@ -157,7 +177,9 @@ def run(args):
     trainer = Trainer(config, algo=algo)
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
     ckpt = cb.Checkpointer(model_dir)
-    algo_state = ckpt.restore(state.algo_state)
+    bundle = ckpt.restore(_bundle(state))
+    algo_state = bundle["algo_state"]
+    state = state.replace(normalizer=bundle["normalizer"])
 
     n_episodes = args.episodes
     t0 = time.process_time()

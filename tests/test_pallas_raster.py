@@ -1,0 +1,60 @@
+"""Pallas renderer vs the XLA reference renderer (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_rl_grasping_tpu.ops.raster_pallas import render_batch_pallas
+from deep_rl_grasping_tpu.render import raycast
+from deep_rl_grasping_tpu.sim import objects, scene
+from deep_rl_grasping_tpu.sim.types import ObjectState, SimState, make_sim_params
+from deep_rl_grasping_tpu.utils import transforms
+
+INTR = jnp.array([69.76, 77.25, 32.19, 32.0])
+
+
+def _batch_states(params, B, key):
+    lib = objects.get_library(8)
+    type_ids = jnp.asarray(lib.random_urdf_ids())
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda k: scene.reset_scene(
+            k, params, type_ids, 3, 1, 3, 0.08, 0.25, settle_substeps=0
+        )
+    )(keys)
+
+
+@pytest.mark.parametrize("scene_type", ["OnFloor", "OnTable"])
+def test_pallas_matches_xla_renderer(scene_type):
+    lib = objects.get_library(8)
+    params = make_sim_params(lib, scene_type=scene_type)
+    B = 3
+    states = _batch_states(params, B, jax.random.PRNGKey(0))
+    # wrist camera pose per env
+    t_rc = jnp.array([0.0, 0.0573, 0.0451])
+    R_rc = transforms.quat_to_matrix(
+        transforms.quat_normalize(jnp.array([0.0, -0.1305, 0.9914, 0.0]))
+    )
+    cam_pos, cam_R = jax.vmap(
+        lambda q: raycast.camera_pose_from_gripper(q, t_rc, R_rc)
+    )(states.gripper.q)
+    intr = jnp.tile(INTR, (B, 1))
+
+    depth_p, seg_p = render_batch_pallas(
+        states, params, cam_pos, cam_R, intr, interpret=True
+    )
+    ref = jax.vmap(
+        lambda s, cp, cr, it: raycast.render(
+            s, params, cp, cr, it, 64, 64
+        )
+    )(states, cam_pos, cam_R, intr)
+    _, depth_r, seg_r = ref
+
+    depth_p, seg_p = np.asarray(depth_p), np.asarray(seg_p)
+    depth_r, seg_r = np.asarray(depth_r), np.asarray(seg_r)
+    # depth agreement where both hit something
+    agree = np.mean(np.abs(depth_p - depth_r) < 1e-3)
+    assert agree > 0.995, f"depth mismatch fraction {1-agree:.4f}"
+    seg_agree = np.mean(seg_p == seg_r)
+    assert seg_agree > 0.995, f"seg mismatch fraction {1-seg_agree:.4f}"
