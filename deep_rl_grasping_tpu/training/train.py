@@ -79,9 +79,14 @@ def train(args):
 
         trainer = Trainer(config, algo=algo)
         state = jax.jit(trainer.init_state)(jax.random.PRNGKey(args.seed))
-        step_fn = jax.jit(
-            lambda s: trainer.train_chunk(s, chunk_steps), donate_argnums=0
-        )
+        if chunk_steps > 1:
+            step_fn = jax.jit(
+                lambda s: trainer.train_chunk(s, chunk_steps), donate_argnums=0
+            )
+        else:
+            # chunk via host loop: the remote TPU compiler chokes on the
+            # scan-of-train-steps program at large env counts
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0)
         frames_per_chunk = chunk_steps * trainer.num_envs
     else:
         from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
