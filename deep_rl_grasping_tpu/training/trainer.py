@@ -231,6 +231,12 @@ class Trainer:
         """EvalCallback equivalent (base_callbacks.py:16-117): deterministic
         episodes on the validation env at lambda=1 with the fixed eval seed
         (simulation.py:91-100)."""
+        cache_key = (n_episodes, validate)
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if cache_key in self._eval_cache:
+            run, key_default = self._eval_cache[cache_key]
+            return run(algo_state, normalizer, key_default if key is None else key)
         eval_env = GraspEnv(self.config, evaluate=True, validate=validate)
         eval_env.branched_actions = self.env.branched_actions
         benv = BatchedGraspEnv(eval_env, n_episodes)
@@ -278,4 +284,6 @@ class Trainer:
                 episodes=done_once.sum(),
             )
 
-        return jax.jit(run)(algo_state, normalizer, key)
+        run_jit = jax.jit(run)
+        self._eval_cache[cache_key] = (run_jit, jax.random.PRNGKey(1))
+        return run_jit(algo_state, normalizer, key)
