@@ -496,6 +496,11 @@ def _servo_plan(q, target, finger_target, params):
     into the held object every substep and the contacts would have to
     rebuild the full opposing impulse from scratch, causing slow crushing.
     """
+    # The z motor must not drive below the fingertip-floor stop: a target
+    # under the clamp would keep pushing down at full force and friction-drag
+    # any held object out of the jaw.
+    floor_q2 = params.support_z + PAD_CENTER_DEPTH + PAD_HALF_EXTENTS[2]
+    target = target.at[2].set(jnp.maximum(target[2], floor_q2))
     full_target = jnp.concatenate([target, jnp.array([finger_target, finger_target])])
     err = full_target - q
     a_max = params.dof_force / params.dof_mass

@@ -83,9 +83,12 @@ class SimParams:
     dof_mass: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.array([6.0, 6.0, 6.0, 0.1, 0.4, 0.4], jnp.float32)
     )
-    # Servo force caps (reference model.py:69-74 uses force=100 everywhere)
+    # Servo force caps. Reference model.py:69-74 passes force=100 everywhere;
+    # fingers here use 50 N (real WSG-50 grip force is ~80 N): the lighter
+    # motor impulse is fully cancelled by contacts each substep, eliminating
+    # slow crush-through on held objects (still >50x any object's weight).
     dof_force: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.array([100.0, 100.0, 100.0, 20.0, 100.0, 100.0], jnp.float32)
+        default_factory=lambda: jnp.array([100.0, 100.0, 100.0, 20.0, 50.0, 50.0], jnp.float32)
     )
     # Servo velocity caps: Bullet position motors implicitly bound speed;
     # uncapped dead-beat servos tunnel fingers through objects in a couple
@@ -99,7 +102,7 @@ class SimParams:
     max_bias_velocity: float = 1.0
     # Fraction of the previous substep's contact impulses applied as the
     # initial guess (contact slots have stable identity across substeps).
-    warm_start: float = 0.9
+    warm_start: float = 0.95
     # Inner alternations of (finger motors, left pad, right pad) per solver
     # iteration — resolves the stiff two-pad squeeze subsystem.
     pad_inner_iterations: int = struct.field(pytree_node=False, default=14)

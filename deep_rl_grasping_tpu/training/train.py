@@ -41,11 +41,15 @@ ON_POLICY = ("PPO", "TRPO")
 
 
 def _bundle(state):
-    """Checkpoint payload: learner + normalizer + curriculum (the reference
-    persists model.zip + vecnormalize.pkl + curriculum CSV; sb_helper.py:228-247)."""
+    """Checkpoint payload: learner + normalizer stats + curriculum (the
+    reference persists model.zip + vecnormalize.pkl + curriculum CSV;
+    sb_helper.py:228-247). The normalizer's per-env running returns are
+    transient and env-count-dependent, so only the moments are saved —
+    this keeps warm starts portable across different num_envs."""
     return {
         "algo_state": state.algo_state,
-        "normalizer": state.normalizer,
+        "obs_rms": state.normalizer.obs_rms,
+        "ret_rms": state.normalizer.ret_rms,
         "curriculum": state.curriculum,
     }
 
@@ -102,7 +106,10 @@ def train(args):
         prev = cb.Checkpointer(args.load_dir)
         bundle = prev.restore(_bundle(state))
         state = state.replace(
-            algo_state=bundle["algo_state"], normalizer=bundle["normalizer"]
+            algo_state=bundle["algo_state"],
+            normalizer=state.normalizer.replace(
+                obs_rms=bundle["obs_rms"], ret_rms=bundle["ret_rms"]
+            ),
         )
         logging.info("warm-started learner from %s", args.load_dir)
 
@@ -184,7 +191,11 @@ def run(args):
     ckpt = cb.Checkpointer(model_dir)
     bundle = ckpt.restore(_bundle(state))
     algo_state = bundle["algo_state"]
-    state = state.replace(normalizer=bundle["normalizer"])
+    state = state.replace(
+        normalizer=state.normalizer.replace(
+            obs_rms=bundle["obs_rms"], ret_rms=bundle["ret_rms"]
+        )
+    )
 
     n_episodes = args.episodes
     t0 = time.process_time()

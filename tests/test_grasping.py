@@ -78,7 +78,7 @@ def test_simplified_env_protocol_succeeds_over_object():
 @pytest.mark.slow
 def test_table_clearing_removes_objects():
     cfg = cfg_util.load_config("tests/configs/test_continuous.yaml")
-    cfg["curriculum"]["extent"] = [0.02, 0.02]
+    cfg["curriculum"]["extent"] = [0.06, 0.06]
     cfg["curriculum"]["max_objects"] = [2, 2]
     cfg["curriculum"]["min_objects"] = [2, 2]
     cfg["reward"].update(
@@ -104,10 +104,10 @@ def test_table_clearing_removes_objects():
         act = np.zeros(5, np.float32)
         act[0] = np.clip(err[0] / 0.01, -1, 1)
         act[1] = np.clip(-err[1] / 0.01, -1, 1)
-        act[2] = 1.0 if float(q[2]) > 0.085 else 0.0
+        act[2] = 1.0 if float(q[2]) > 0.0735 else 0.0
         act[4] = 1.0
         state, obs, r, done, info = step(state, jnp.asarray(act))
-        if float(state.sim.gripper.q[2]) <= 0.085 and np.linalg.norm(err) < 0.004:
+        if float(state.sim.gripper.q[2]) <= 0.0735 and np.linalg.norm(err) < 0.004:
             break
     state, obs, r, done, info = step(state, close)
     cleared = False
