@@ -46,6 +46,7 @@ def masked_depth(env: GraspEnv, state):
 def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20):
     cfg = cfg_util.load_config(config)
     cfg["simplified"] = True  # collection uses the descend policy's env
+    cfg["robot"]["discrete"] = False  # random continuous exploration policy
     env = GraspEnv(cfg)
     benv = BatchedGraspEnv(env, num_envs)
     curriculum = benv.init_curriculum()
