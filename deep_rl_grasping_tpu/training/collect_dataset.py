@@ -52,36 +52,36 @@ def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20):
     curriculum = benv.init_curriculum()
     lam = jnp.asarray(1.0)  # full-difficulty scenes for diverse images
 
-    def rollout(key):
-        k_reset, k_act = jax.random.split(key)
-        keys = jax.random.split(k_reset, num_envs)
+    # Host loop over steps (a scan stacking per-step image batches trips an
+    # XLA memory-space-assignment crash on the TPU compiler in this image).
+    @jax.jit
+    def reset_batch(key):
+        keys = jax.random.split(key, num_envs)
         states, _ = jax.vmap(lambda k: env.reset(k, lam))(keys)
+        return states
 
-        def body(carry, k):
-            states = carry
-            acts = jax.random.uniform(
-                k, (num_envs, env.action_dim), minval=-1.0, maxval=1.0
-            )
-            states, _, _, _, _ = jax.vmap(
-                lambda s, a: env.step(s, a, lam)
-            )(states, acts)
-            imgs = jax.vmap(lambda s: masked_depth(env, s))(states)
-            return states, imgs
-
-        _, imgs = jax.lax.scan(
-            body, states, jax.random.split(k_act, steps_per_reset)
+    @jax.jit
+    def step_collect(states, k):
+        acts = jax.random.uniform(
+            k, (num_envs, env.action_dim), minval=-1.0, maxval=1.0
         )
-        return imgs.reshape(-1, env.im_h, env.im_w)
+        states, _, _, _, _ = jax.vmap(
+            lambda s, a: env.step(s, a, lam)
+        )(states, acts)
+        imgs = jax.vmap(lambda s: masked_depth(env, s))(states)
+        return states, imgs
 
-    rollout_jit = jax.jit(rollout)
     out = []
     total = 0
     key = jax.random.PRNGKey(seed)
     while total < n_images:
-        key, k = jax.random.split(key)
-        imgs = np.asarray(rollout_jit(k))
-        out.append(imgs)
-        total += imgs.shape[0]
+        key, kr = jax.random.split(key)
+        states = reset_batch(kr)
+        for _ in range(steps_per_reset):
+            key, ka = jax.random.split(key)
+            states, imgs = step_collect(states, ka)
+            out.append(np.asarray(imgs))
+            total += imgs.shape[0]
         print(f"collected {total}/{n_images}")
     return np.concatenate(out)[:n_images]
 
