@@ -51,6 +51,28 @@ class LoopState:
     ep_len_sum: jnp.ndarray
 
 
+def _maybe_load_encoder(config):
+    """Attach the trained autoencoder for encoder-latent observations
+    (EncodedDepthImgSensor equivalent; reference sensor.py:186-196 loads
+    weights from config sensor.encoder_dir)."""
+    if config.get("depth_observation") or config.get("full_observation"):
+        return None
+    enc_dir = config.get("sensor", {}).get("encoder_dir")
+    if not enc_dir:
+        return None
+    import os
+
+    from deep_rl_grasping_tpu.utils import config as cfg_util
+
+    path = cfg_util.resolve_path(enc_dir)
+    if not os.path.exists(os.path.join(path, "weights.npz")):
+        return None
+    from deep_rl_grasping_tpu.training.train_encoder import load_trained_encoder
+
+    encode_fn, _ = load_trained_encoder(path)
+    return encode_fn
+
+
 def make_algo(config, env: GraspEnv, algo_name, pmean_axis=None):
     algo_name = algo_name.upper()
     obs_shape = env.obs_shape
@@ -74,7 +96,7 @@ class Trainer:
         self.algo_name = algo.upper()
         self.model_dir = model_dir
         self.pmean_axis = pmean_axis
-        self.env = GraspEnv(self.config)
+        self.env = GraspEnv(self.config, encoder_fn=_maybe_load_encoder(self.config))
         self.num_envs = int(num_envs or self.config["tpu"].get("num_envs", 128))
         self.benv = BatchedGraspEnv(self.env, self.num_envs, pmean_axis=pmean_axis)
         self.algo = make_algo(self.config, self.env, self.algo_name, pmean_axis)
@@ -237,7 +259,8 @@ class Trainer:
         if cache_key in self._eval_cache:
             run, key_default = self._eval_cache[cache_key]
             return run(algo_state, normalizer, key_default if key is None else key)
-        eval_env = GraspEnv(self.config, evaluate=True, validate=validate)
+        eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
+                            encoder_fn=self.env.encoder_fn)
         eval_env.branched_actions = self.env.branched_actions
         benv = BatchedGraspEnv(eval_env, n_episodes)
         curriculum = benv.init_curriculum()
