@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
 @struct.dataclass
 class ReplayBuffer:
-    obs: jnp.ndarray        # (C, *obs_shape) storage dtype
+    obs: jnp.ndarray        # (C, prod(obs_shape)) storage dtype (flat rows)
     action: jnp.ndarray     # (C, *act_shape)
     reward: jnp.ndarray     # (C,) f32
     done: jnp.ndarray       # (C,) bool
@@ -36,14 +37,22 @@ class ReplayBuffer:
     size: jnp.ndarray       # () int32 frames written (saturates at C)
     batch_stride: int = struct.field(pytree_node=False)
     capacity: int = struct.field(pytree_node=False)
+    obs_shape: tuple = struct.field(pytree_node=False, default=())
 
 
 def create(capacity, obs_shape, action_shape, batch_stride,
            obs_dtype=jnp.bfloat16, action_dtype=jnp.float32):
-    """capacity is rounded down to a multiple of the per-step insert width."""
+    """capacity is rounded down to a multiple of the per-step insert width.
+
+    Observations are stored FLAT as (C, prod(obs_shape)): with the image
+    shape kept, XLA tiles the trailing (64, 2) dims to (8, 128) lanes and
+    pads the ring to 2x its logical size (15.3 GiB for 500k frames). A
+    8192-wide flat row is lane-aligned with zero padding; sample() restores
+    the image shape on the gathered minibatch only.
+    """
     capacity = (capacity // batch_stride) * batch_stride
     return ReplayBuffer(
-        obs=jnp.zeros((capacity,) + tuple(obs_shape), obs_dtype),
+        obs=jnp.zeros((capacity, int(np.prod(obs_shape))), obs_dtype),
         action=jnp.zeros((capacity,) + tuple(action_shape), action_dtype),
         reward=jnp.zeros((capacity,), jnp.float32),
         done=jnp.zeros((capacity,), bool),
@@ -52,6 +61,7 @@ def create(capacity, obs_shape, action_shape, batch_stride,
         size=jnp.asarray(0, jnp.int32),
         batch_stride=batch_stride,
         capacity=capacity,
+        obs_shape=tuple(obs_shape),
     )
 
 
@@ -61,7 +71,7 @@ def insert(buf: ReplayBuffer, obs, action, reward, done):
     idx = (buf.ptr + jnp.arange(B)) % buf.capacity
     max_p = jnp.max(buf.priority) * (buf.size > 0) + (buf.size == 0) * 1.0
     return buf.replace(
-        obs=buf.obs.at[idx].set(obs.astype(buf.obs.dtype)),
+        obs=buf.obs.at[idx].set(obs.reshape(B, -1).astype(buf.obs.dtype)),
         action=buf.action.at[idx].set(action.astype(buf.action.dtype)),
         reward=buf.reward.at[idx].set(reward),
         done=buf.done.at[idx].set(done),
@@ -85,12 +95,13 @@ def sample(buf: ReplayBuffer, key, batch_size):
     offs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(n, 1))
     idx = (buf.ptr - buf.size + offs) % buf.capacity
     nxt = (idx + buf.batch_stride) % buf.capacity
+    img = (batch_size,) + buf.obs_shape
     return dict(
-        obs=buf.obs[idx].astype(jnp.float32),
+        obs=buf.obs[idx].astype(jnp.float32).reshape(img),
         action=buf.action[idx],
         reward=buf.reward[idx],
         done=buf.done[idx],
-        next_obs=buf.obs[nxt].astype(jnp.float32),
+        next_obs=buf.obs[nxt].astype(jnp.float32).reshape(img),
         idx=idx,
         weight=jnp.ones((batch_size,), jnp.float32),
     )
@@ -118,12 +129,13 @@ def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
     probs = p / jnp.maximum(z, 1e-12)
     w = (jnp.maximum(n, 1).astype(jnp.float32) * probs) ** (-beta)
     w = w / jnp.maximum(jnp.max(w), 1e-12)
+    img = (batch_size,) + buf.obs_shape
     return dict(
-        obs=buf.obs[idx].astype(jnp.float32),
+        obs=buf.obs[idx].astype(jnp.float32).reshape(img),
         action=buf.action[idx],
         reward=buf.reward[idx],
         done=buf.done[idx],
-        next_obs=buf.obs[nxt].astype(jnp.float32),
+        next_obs=buf.obs[nxt].astype(jnp.float32).reshape(img),
         idx=idx,
         weight=w,
     )

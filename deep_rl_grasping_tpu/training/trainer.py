@@ -188,8 +188,7 @@ class Trainer:
             self.learning_starts, self.batch_size + self.num_envs
         )
 
-        def do_update(carry, k):
-            algo_state, buffer = carry
+        def update_once(algo_state, buffer, k):
             ks, ku = jax.random.split(k)
             if self.prioritized:
                 batch = replay_mod.sample_prioritized(buffer, ks, self.batch_size)
@@ -208,12 +207,30 @@ class Trainer:
                 new_algo_state,
                 algo_state,
             )
-            return (algo_state, buffer), metrics
+            return algo_state, buffer, metrics
 
         upd_keys = jax.random.split(k_upd, self.updates_per_step)
-        (algo_state, buffer), metrics = jax.lax.scan(
-            do_update, (state.algo_state, buffer), upd_keys
-        )
+        if self.prioritized:
+            # Priorities change each update, so the buffer must ride the carry.
+            def do_update(carry, k):
+                a, b, m = update_once(carry[0], carry[1], k)
+                return (a, b), m
+
+            (algo_state, buffer), metrics = jax.lax.scan(
+                do_update, (state.algo_state, buffer), upd_keys
+            )
+        else:
+            # Keep the multi-GB obs ring OUT of the scan carry: a carried
+            # loop-invariant array forces XLA to materialize extra copies of
+            # it (double/triple-buffering the carry blew HBM at 500k frames).
+            # Closed over, it lowers to a loop-invariant input with no copy.
+            def do_update(algo_state, k):
+                a, _, m = update_once(algo_state, buffer, k)
+                return a, m
+
+            algo_state, metrics = jax.lax.scan(
+                do_update, state.algo_state, upd_keys
+            )
         metrics = jax.tree.map(lambda m: m[-1], metrics)
 
         new_state = LoopState(
