@@ -111,6 +111,47 @@ class CurriculumLogger:
             self._last_iteration = policy_iteration
 
 
+def _raw_lookup(raw, path):
+    """Walk a raw orbax restore (nested dicts/lists) along a pytree key
+    path from the live template (dict keys, struct attrs, sequence ids)."""
+    node = raw
+    for k in path:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", None)
+        if name is None:
+            name = getattr(k, "idx", None)
+        if isinstance(node, (list, tuple)):
+            node = node[int(name)]
+        elif isinstance(node, dict):
+            if name in node:
+                node = node[name]
+            elif str(name) in node:
+                node = node[str(name)]
+            else:
+                raise KeyError(str(name))
+        else:
+            raise KeyError(str(name))
+    return node
+
+
+def _graft_raw(raw, template):
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out = []
+    for path, leaf in leaves:
+        try:
+            val = _raw_lookup(raw, path)
+            if hasattr(leaf, "dtype"):
+                val = jnp.asarray(val, dtype=leaf.dtype)
+            out.append(val)
+        except (KeyError, IndexError, TypeError):
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class Checkpointer:
     """Orbax checkpoints of arbitrary pytrees + best-model tracking."""
 
@@ -148,7 +189,20 @@ class Checkpointer:
         import orbax.checkpoint as ocp
 
         step = self._mgr.latest_step() if step is None else int(step)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(tree))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(tree))
+        except Exception:
+            # Structure-evolution fallback: checkpoints written by older
+            # code (e.g. a different CurriculumState layout) fail the exact
+            # StandardRestore match. Restore the raw nested-dict tree and
+            # graft values onto the template by key path, keeping template
+            # defaults for paths the checkpoint doesn't have.
+            raw = self._mgr.restore(step)
+            return _graft_raw(raw, tree)
+
+    def restore_raw(self, step=None):
+        step = self._mgr.latest_step() if step is None else int(step)
+        return self._mgr.restore(step)
 
     def latest_step(self):
         return self._mgr.latest_step()

@@ -68,6 +68,8 @@ def train(args):
         config["reward"]["shaped"] = True
     if args.timestep:
         config.setdefault(algo, {})["total_timesteps"] = int(args.timestep)
+    if getattr(args, "timefeature", False):
+        config["time_feature"] = True
     config["robot"]["discrete"] = algo in ("DQN", "BDQ")
     config["algorithm"] = algo.lower()
     io_utils.save_yaml(config, os.path.join(model_dir, "config.yaml"))
@@ -115,6 +117,15 @@ def train(args):
 
     monitor = cb.MonitorLogger(model_dir)
     scalars = cb.ScalarLogger(model_dir)
+    # Binary TensorBoard events (sb_helper.py:40-53 TensorboardCallback
+    # logs success_rate + curriculum lambda; sb logs losses itself).
+    from deep_rl_grasping_tpu.utils.tb_events import TensorBoardWriter
+
+    tb = TensorBoardWriter(os.path.join(model_dir, "tb"))
+    # ScalarLogger fixes its CSV columns on the first row, so eval metrics
+    # (different key set, sparse cadence) get their own file — the
+    # evaluations.npz equivalent (base_callbacks.py:107-115).
+    eval_log = cb.ScalarLogger(model_dir, filename="eval_logs.csv")
     curr_log = cb.CurriculumLogger(model_dir)
     ckpt = cb.Checkpointer(model_dir)
     timer = cb.TrainingTimer()
@@ -145,11 +156,13 @@ def train(args):
                 prev_counts = (ep, rs, ss, ls)
             sr = float(state.curriculum.sr_mean)
             lam = float(state.curriculum.lam)
-            scalars.log(frames, dict(
+            row = dict(
                 success_rate=sr, curriculum_lambda=lam,
                 steps_per_s=timer.steps_per_s,
                 **{k: float(np.asarray(v)) for k, v in metrics.items()},
-            ))
+            )
+            scalars.log(frames, row)
+            tb.add_scalars(frames, row)
             curr_log.log(state.curriculum.policy_iteration, lam)
             logging.info(
                 "frames %d  sr %.3f  lambda %.2f  %.0f steps/s",
@@ -159,11 +172,12 @@ def train(args):
             if frames - last_ckpt >= checkpoint_freq:
                 ckpt.save(frames, _bundle(state))
                 last_ckpt = frames
-            if frames - last_eval >= eval_freq and algo in OFF_POLICY:
+            if frames - last_eval >= eval_freq:
                 res = trainer.evaluate(state.algo_state, state.normalizer)
                 res = {k: float(v) for k, v in res.items()}
                 logging.info("eval @ %d: %s", frames, res)
-                scalars.log(frames, {"eval_" + k: v for k, v in res.items()})
+                eval_log.log(frames, res)
+                tb.add_scalars(frames, {"eval_" + k: v for k, v in res.items()})
                 if ckpt.save_best(frames, _bundle(state), res["mean_return"]):
                     logging.info("new best model (return %.1f)", res["mean_return"])
                 last_eval = frames
@@ -174,6 +188,8 @@ def train(args):
     ckpt.wait()
     monitor.close()
     scalars.close()
+    eval_log.close()
+    tb.close()
     logging.info("done: %d frames", frames)
 
 
@@ -184,9 +200,14 @@ def run(args):
     config = cfg_util.load_config(os.path.join(model_dir, "config.yaml"))
     algo = config.get("algorithm", "sac").upper()
 
-    from deep_rl_grasping_tpu.training.trainer import Trainer
+    if algo in ON_POLICY:
+        from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
 
-    trainer = Trainer(config, algo=algo)
+        trainer = OnPolicyTrainer(config, algo=algo)
+    else:
+        from deep_rl_grasping_tpu.training.trainer import Trainer
+
+        trainer = Trainer(config, algo=algo)
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
     ckpt = cb.Checkpointer(model_dir)
     bundle = ckpt.restore(_bundle(state))
@@ -201,7 +222,7 @@ def run(args):
     t0 = time.process_time()
     res = trainer.evaluate(
         algo_state, state.normalizer, n_episodes=n_episodes,
-        validate=not args.test,
+        validate=not args.test, stochastic=args.stochastic,
     )
     wall = time.process_time() - t0
     print("{:<13}{:>7.2f}".format("Mean reward:", float(res["mean_return"])))
@@ -223,6 +244,7 @@ def main(argv=None):
     tp.add_argument("--seed", type=int, default=0)
     tp.add_argument("-s", "--simple", action="store_true")
     tp.add_argument("-sh", "--shaped", action="store_true")
+    tp.add_argument("-tf", "--timefeature", action="store_true")
     tp.add_argument("-v", "--visualize", action="store_true")
     tp.set_defaults(func=train)
 
