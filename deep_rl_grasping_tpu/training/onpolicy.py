@@ -18,6 +18,7 @@ from deep_rl_grasping_tpu.algos.ppo import PPO
 from deep_rl_grasping_tpu.algos.trpo import TRPO
 from deep_rl_grasping_tpu.envs import curriculum as curr_mod
 from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
+from deep_rl_grasping_tpu.training.trainer import EvalMixin, _maybe_load_encoder
 from deep_rl_grasping_tpu.utils import config as cfg_util
 
 
@@ -35,12 +36,12 @@ class OnPolicyLoopState:
     ep_return_sum: jnp.ndarray
 
 
-class OnPolicyTrainer:
+class OnPolicyTrainer(EvalMixin):
     def __init__(self, config, algo="PPO", num_envs=None, pmean_axis=None):
         self.config = cfg_util.load_config(config)
         self.algo_name = algo.upper()
         self.pmean_axis = pmean_axis
-        self.env = GraspEnv(self.config)
+        self.env = GraspEnv(self.config, encoder_fn=_maybe_load_encoder(self.config))
         self.num_envs = int(num_envs or self.config["tpu"].get("num_envs", 128))
         self.benv = BatchedGraspEnv(self.env, self.num_envs, pmean_axis=pmean_axis)
         self.normalize = bool(self.config.get("normalize", False))
@@ -74,6 +75,12 @@ class OnPolicyTrainer:
 
     def _norm_obs(self, normalizer, obs):
         return norm_mod.normalize_obs(normalizer, obs) if self.normalize else obs
+
+    def _act(self, algo_state, obs, key, deterministic=False):
+        """Policy action only (EvalMixin hook; the rollout uses algo.act's
+        full (action, logp, value) triple)."""
+        action, _, _ = self.algo.act(algo_state.params, obs, key, deterministic)
+        return action
 
     def train_iteration(self, state: OnPolicyLoopState):
         """Collect n_steps x B frames, compute GAE, update the policy."""

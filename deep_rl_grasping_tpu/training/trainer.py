@@ -89,7 +89,77 @@ def make_algo(config, env: GraspEnv, algo_name, pmean_axis=None):
     raise ValueError(f"unknown off-policy algo {algo_name}")
 
 
-class Trainer:
+class EvalMixin:
+    """Shared evaluation harness (EvalCallback / run_agent equivalent,
+    base_callbacks.py:16-117 + utils.py:10-44): episodes on the validation
+    or test env at lambda=1 with the fixed eval seed (simulation.py:91-100).
+    `stochastic` mirrors run_agent's flag (train_stable_baselines.py:97-107):
+    sample from the policy instead of taking its mode/argmax."""
+
+    def evaluate(self, algo_state, normalizer, n_episodes=10, key=None,
+                 validate=True, stochastic=False):
+        cache_key = (n_episodes, validate, stochastic)
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if cache_key in self._eval_cache:
+            run, key_default = self._eval_cache[cache_key]
+            return run(algo_state, normalizer, key_default if key is None else key)
+        eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
+                            encoder_fn=self.env.encoder_fn)
+        eval_env.branched_actions = self.env.branched_actions
+        benv = BatchedGraspEnv(eval_env, n_episodes)
+        curriculum = benv.init_curriculum()
+        key = jax.random.PRNGKey(1) if key is None else key
+
+        def run(algo_state, normalizer, key):
+            states, obs = benv.reset(key, curriculum)
+            B = n_episodes
+
+            def body(carry, i):
+                states, obs, cur, done_once, ret, length, succ, k = carry
+                k, ka = jax.random.split(k)
+                obs_in = (
+                    norm_mod.normalize_obs(normalizer, obs)
+                    if self.normalize
+                    else obs
+                )
+                actions = self._act(
+                    algo_state, obs_in, ka, deterministic=not stochastic
+                )
+                states, obs, rewards, dones, infos, cur = benv.step(
+                    states, actions, cur
+                )
+                first_done = dones & ~done_once
+                ret = jnp.where(first_done, infos["episode_return"], ret)
+                length = jnp.where(first_done, infos["episode_step"], length)
+                succ = jnp.where(first_done, infos["is_success"], succ)
+                done_once = done_once | dones
+                return (states, obs, cur, done_once, ret, length, succ, k), None
+
+            init = (
+                states, obs, curriculum,
+                jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, bool), key,
+            )
+            (states, obs, cur, done_once, ret, length, succ, _), _ = jax.lax.scan(
+                body, init, None, length=eval_env.time_horizon
+            )
+            return dict(
+                mean_return=jnp.where(done_once, ret, 0.0).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                mean_length=jnp.where(done_once, length, 0).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                success_rate=jnp.where(done_once, succ, False).sum()
+                / jnp.maximum(done_once.sum(), 1),
+                episodes=done_once.sum(),
+            )
+
+        run_jit = jax.jit(run)
+        self._eval_cache[cache_key] = (run_jit, jax.random.PRNGKey(1))
+        return run_jit(algo_state, normalizer, key)
+
+
+class Trainer(EvalMixin):
     def __init__(self, config, algo="SAC", model_dir=None, num_envs=None,
                  pmean_axis=None):
         self.config = cfg_util.load_config(config)
@@ -263,67 +333,4 @@ class Trainer:
         last_metrics = jax.tree.map(lambda m: m[-1], metrics)
         return state, last_metrics
 
-    # ------------------------------------------------------------------ eval
 
-    def evaluate(self, algo_state, normalizer, n_episodes=10, key=None,
-                 validate=True):
-        """EvalCallback equivalent (base_callbacks.py:16-117): deterministic
-        episodes on the validation env at lambda=1 with the fixed eval seed
-        (simulation.py:91-100)."""
-        cache_key = (n_episodes, validate)
-        if not hasattr(self, "_eval_cache"):
-            self._eval_cache = {}
-        if cache_key in self._eval_cache:
-            run, key_default = self._eval_cache[cache_key]
-            return run(algo_state, normalizer, key_default if key is None else key)
-        eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
-                            encoder_fn=self.env.encoder_fn)
-        eval_env.branched_actions = self.env.branched_actions
-        benv = BatchedGraspEnv(eval_env, n_episodes)
-        curriculum = benv.init_curriculum()
-        key = jax.random.PRNGKey(1) if key is None else key
-
-        def run(algo_state, normalizer, key):
-            states, obs = benv.reset(key, curriculum)
-            B = n_episodes
-
-            def body(carry, i):
-                states, obs, cur, done_once, ret, length, succ, k = carry
-                k, ka = jax.random.split(k)
-                obs_in = (
-                    norm_mod.normalize_obs(normalizer, obs)
-                    if self.normalize
-                    else obs
-                )
-                actions = self._act(algo_state, obs_in, ka, deterministic=True)
-                states, obs, rewards, dones, infos, cur = benv.step(
-                    states, actions, cur
-                )
-                first_done = dones & ~done_once
-                ret = jnp.where(first_done, infos["episode_return"], ret)
-                length = jnp.where(first_done, infos["episode_step"], length)
-                succ = jnp.where(first_done, infos["is_success"], succ)
-                done_once = done_once | dones
-                return (states, obs, cur, done_once, ret, length, succ, k), None
-
-            init = (
-                states, obs, curriculum,
-                jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
-                jnp.zeros(B, bool), key,
-            )
-            (states, obs, cur, done_once, ret, length, succ, _), _ = jax.lax.scan(
-                body, init, None, length=eval_env.time_horizon
-            )
-            return dict(
-                mean_return=jnp.where(done_once, ret, 0.0).sum()
-                / jnp.maximum(done_once.sum(), 1),
-                mean_length=jnp.where(done_once, length, 0).sum()
-                / jnp.maximum(done_once.sum(), 1),
-                success_rate=jnp.where(done_once, succ, False).sum()
-                / jnp.maximum(done_once.sum(), 1),
-                episodes=done_once.sum(),
-            )
-
-        run_jit = jax.jit(run)
-        self._eval_cache[cache_key] = (run_jit, jax.random.PRNGKey(1))
-        return run_jit(algo_state, normalizer, key)
