@@ -38,6 +38,7 @@ from flax import struct
 from deep_rl_grasping_tpu.envs import actuator as act
 from deep_rl_grasping_tpu.envs import curriculum as curr
 from deep_rl_grasping_tpu.envs import rewards as rew
+from deep_rl_grasping_tpu.envs import wrappers
 from deep_rl_grasping_tpu.render import raycast
 from deep_rl_grasping_tpu.sim import objects as objlib
 from deep_rl_grasping_tpu.sim import physics, scene
@@ -86,6 +87,14 @@ class GraspEnv:
         self.depth_obs = bool(config.get("depth_observation", False))
         self.full_obs = bool(config.get("full_observation", False))
         self.time_horizon = int(config["time_horizon"])
+        # TimeFeatureWrapper equivalent (training/wrapper.py:5-54, enabled by
+        # the reference's --timefeature flag): append the remaining-time
+        # fraction to flat (latent) observations. Image observations carry
+        # no time feature, matching the reference (the wrapper was only used
+        # with MLP-policy runs).
+        self.time_feature = bool(config.get("time_feature", False)) and not (
+            self.depth_obs or self.full_obs
+        )
 
         self.actuator_spec = act.ActuatorSpec.from_config(config)
         self.reward_spec = rew.RewardSpec.from_config(config)
@@ -156,7 +165,8 @@ class GraspEnv:
             c = 5 if self.full_obs else 2
             return (self.im_h, self.im_w, c)
         d = self.encoding_dim
-        return (d,) if self.simplified else (d + 1,)
+        d = d if self.simplified else d + 1
+        return (d + 1,) if self.time_feature else (d,)
 
     # ------------------------------------------------------------------ reset
 
@@ -260,11 +270,17 @@ class GraspEnv:
             side = int(np.ceil(np.sqrt(self.encoding_dim)))
             small = jax.image.resize(img, (side, side), "linear").reshape(-1)
             enc = small[: self.encoding_dim]
-        if self.simplified:
-            return enc
-        width = physics.gripper_width(state.sim.gripper.q)
-        a_obs = act.actuator_obs(self.actuator_spec, width, state.sim.gripper.q[2])
-        return jnp.concatenate([enc, a_obs])
+        if not self.simplified:
+            width = physics.gripper_width(state.sim.gripper.q)
+            a_obs = act.actuator_obs(
+                self.actuator_spec, width, state.sim.gripper.q[2]
+            )
+            enc = jnp.concatenate([enc, a_obs])
+        if self.time_feature:
+            enc = wrappers.append_time_feature(
+                enc, state.episode_step, self.time_horizon
+            )
+        return enc
 
     # ------------------------------------------------------------------ step
 
@@ -456,12 +472,15 @@ class BatchedGraspEnv:
         states, obs, rewards, dones, infos = jax.vmap(
             lambda s, a: self.env.step(s, a, curriculum_state.lam)
         )(states, actions)
-        n_done = jnp.sum(dones.astype(jnp.int32))
-        n_succ = jnp.sum((dones & infos["is_success"]).astype(jnp.int32))
+        done_mask = dones
+        succ_mask = dones & infos["is_success"]
         if self.pmean_axis is not None:
-            n_done = jax.lax.psum(n_done, self.pmean_axis)
-            n_succ = jax.lax.psum(n_succ, self.pmean_axis)
+            # The success window is global (one shared deque in the
+            # reference): gather every shard's outcomes so all replicas
+            # fold the identical episode stream into their ring.
+            done_mask = jax.lax.all_gather(done_mask, self.pmean_axis).reshape(-1)
+            succ_mask = jax.lax.all_gather(succ_mask, self.pmean_axis).reshape(-1)
         curriculum_state = curr.update(
-            self.curriculum_spec, curriculum_state, n_done, n_succ
+            self.curriculum_spec, curriculum_state, done_mask, succ_mask
         )
         return states, obs, rewards, dones, infos, curriculum_state

@@ -56,3 +56,26 @@ def test_time_feature_wrapper():
     np.testing.assert_allclose(np.asarray(out[:, -1]), [1.0, 0.75, 0.5, 0.0])
     out_t = wrappers.append_time_feature(obs, steps, 100, test_mode=True)
     np.testing.assert_allclose(np.asarray(out_t[:, -1]), np.ones(4))
+
+
+def test_time_feature_wired_into_env():
+    """config time_feature: True extends flat observations by the remaining-
+    time fraction (the reference's --timefeature wrapping of the env,
+    train_stable_baselines.py:52-67)."""
+    cfg = cfg_util.load_config("tests/configs/test_encoder.yaml")
+    cfg["time_feature"] = True
+    env = GraspEnv(cfg)
+    assert env.time_feature
+    assert env.obs_shape == (102,)  # encoder 100 + width 1 + time 1
+    state, obs = jax.jit(lambda k: env.reset(k, jnp.asarray(0.0)))(
+        jax.random.PRNGKey(0)
+    )
+    assert obs.shape == (102,)
+    # At episode step 0 the remaining-time feature is exactly 1.
+    np.testing.assert_allclose(float(obs[-1]), 1.0)
+
+    # Image observations never get the feature (reference parity).
+    cfg2 = cfg_util.load_config("tests/configs/test_continuous.yaml")
+    cfg2["time_feature"] = True
+    env2 = GraspEnv(cfg2)
+    assert not env2.time_feature
