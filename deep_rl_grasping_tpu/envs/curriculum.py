@@ -5,15 +5,18 @@ lambda in [0,1] interpolates extent / spawn height / object counts / lift
 distance; when the success rate over the last `window_size` episodes exceeds
 `success_threshold`, lambda increases by 1/n_steps and the window clears.
 
-The reference tracks a deque over single-env episodes; with thousands of
-parallel envs the window is a shared (success_count, episode_count) pair
-updated with batch sums each step — same statistic, batch-aggregated.
-Evaluation forces lambda = 1 (curriculum.py:33).
+The reference tracks a deque over single-env episodes; here the deque is a
+device-resident ring buffer of the last `window_size` episode outcomes,
+scattered into by however many episodes finish in each batched step — the
+exact same sliding-window statistic. Evaluation forces lambda = 1
+(curriculum.py:33).
 
-Reference quirk NOT replicated: curriculum.py:61-62 computes min_objects
-from the max_objects range (a copy-paste bug); we interpolate the
-min_objects range as configured. With the default min_objects [1,1] the
-two are identical.
+Reference quirk replicated (curriculum.py:61-62): min_objects is computed
+from the max_objects range, so exactly round(convert(lam, max_objects))
+objects spawn. Round-1 code interpolated the configured min_objects range
+instead ("the two are identical" was wrong — they only agree at lam where
+the ranges cross); the sparser scenes starved early exploration of grasp
+successes. See params_at.
 """
 
 from __future__ import annotations
@@ -60,8 +63,9 @@ class CurriculumSpec:
 @struct.dataclass
 class CurriculumState:
     lam: jnp.ndarray            # ()
-    success_count: jnp.ndarray  # () int32, successes in current window
-    episode_count: jnp.ndarray  # () int32, episodes in current window
+    ring: jnp.ndarray           # (window_size,) f32 episode outcomes
+    ptr: jnp.ndarray            # () int32 next ring slot
+    filled: jnp.ndarray         # () int32 episodes in window (<= W)
     sr_mean: jnp.ndarray        # () rolling success rate (for logging)
     policy_iteration: jnp.ndarray  # () int32, lambda increments so far
 
@@ -69,8 +73,9 @@ class CurriculumState:
     def init(cls, spec: CurriculumSpec, evaluate=False):
         return cls(
             lam=jnp.asarray(1.0 if evaluate else spec.init_lambda, jnp.float32),
-            success_count=jnp.asarray(0, jnp.int32),
-            episode_count=jnp.asarray(0, jnp.int32),
+            ring=jnp.zeros((spec.window_size,), jnp.float32),
+            ptr=jnp.asarray(0, jnp.int32),
+            filled=jnp.asarray(0, jnp.int32),
             sr_mean=jnp.asarray(0.0, jnp.float32),
             policy_iteration=jnp.asarray(1, jnp.int32),
         )
@@ -82,7 +87,13 @@ def params_at(spec: CurriculumSpec, lam):
     extent = _convert(lam, spec.extent)
     height = _convert(lam, spec.robot_height)
     max_objects = jnp.round(_convert(lam, spec.max_objects)).astype(jnp.int32)
-    min_objects = jnp.round(_convert(lam, spec.min_objects)).astype(jnp.int32)
+    # Reference quirk REPLICATED deliberately (curriculum.py:61-62):
+    # min_objects is interpolated from the max_objects range too, so the
+    # scene always spawns exactly round(convert(lam, max_objects)) objects
+    # (3 at lam=0). This is load-bearing: 3 objects inside the +-1 cm spawn
+    # extent give an untrained policy a ~3x higher grasp-success floor than
+    # 1-3 objects, which is what lets SAC bootstrap off random successes.
+    min_objects = jnp.round(_convert(lam, spec.max_objects)).astype(jnp.int32)
     if spec.lift_dist is not None:
         lift_dist = _convert(lam, spec.lift_dist)
     else:
@@ -96,27 +107,42 @@ def params_at(spec: CurriculumSpec, lam):
     )
 
 
-def update(spec: CurriculumSpec, state: CurriculumState, n_done, n_success):
-    """Fold a batch of episode outcomes into the window; advance lambda when
-    the window is full and the success rate clears the threshold
-    (curriculum.py:38-49)."""
-    ep = state.episode_count + n_done
-    sc = state.success_count + n_success
-    window_full = ep >= spec.window_size
-    rate = sc / jnp.maximum(ep, 1)
+def update(spec: CurriculumSpec, state: CurriculumState, done_mask, success_mask):
+    """Scatter a batch of finished episodes into the sliding window ring
+    and advance lambda when the full window clears the threshold.
+
+    Exact deque(maxlen=window_size) semantics (curriculum.py:38-49): the
+    ring holds the last `window_size` episode outcomes; a full window that
+    misses the threshold keeps sliding; history clears only when lambda
+    advances. `done_mask`/`success_mask` are per-episode-slot booleans
+    (any shape; flattened) — each True `done` writes one outcome.
+    """
+    W = spec.window_size
+    done = done_mask.reshape(-1)
+    succ = success_mask.reshape(-1).astype(jnp.float32)
+    d32 = done.astype(jnp.int32)
+    # Ring slots for this batch's finished episodes, in-batch order.
+    offset = jnp.cumsum(d32) - d32
+    pos = (state.ptr + offset) % W
+    # Non-done lanes scatter out of range and are dropped.
+    pos = jnp.where(done, pos, W)
+    ring = state.ring.at[pos].set(succ, mode="drop")
+    n_new = d32.sum()
+    ptr = (state.ptr + n_new) % W
+    filled = jnp.minimum(state.filled + n_new, W)
+
+    window_full = filled >= W
+    rate = ring.sum() / jnp.maximum(filled, 1).astype(jnp.float32)
     advance = window_full & (rate > spec.success_threshold) & (state.lam < 1.0)
     new_lam = jnp.where(
         advance, jnp.minimum(1.0, state.lam + 1.0 / spec.n_steps), state.lam
     )
-    # The reference clears history only when lambda advances; a full window
-    # that misses the threshold keeps sliding (deque maxlen). We approximate
-    # the sliding window by halving the counts when full without advancing.
-    ep_next = jnp.where(advance, 0, jnp.where(window_full, ep // 2, ep))
-    sc_next = jnp.where(advance, 0, jnp.where(window_full, sc // 2, sc))
+    clear = advance
     return state.replace(
         lam=new_lam,
-        episode_count=ep_next.astype(jnp.int32),
-        success_count=sc_next.astype(jnp.int32),
+        ring=jnp.where(clear, jnp.zeros_like(ring), ring),
+        ptr=jnp.where(clear, 0, ptr).astype(jnp.int32),
+        filled=jnp.where(clear, 0, filled).astype(jnp.int32),
         sr_mean=rate,
         policy_iteration=state.policy_iteration + advance.astype(jnp.int32),
     )

@@ -103,8 +103,8 @@ class GymGraspEnv:
             self._curr = curr.update(
                 self.env.curriculum_spec,
                 self._curr,
-                jnp.asarray(1, jnp.int32),
-                jnp.asarray(info["is_success"], jnp.int32),
+                jnp.asarray([True]),
+                jnp.asarray([bool(info["is_success"])]),
             )
         return (
             np.asarray(obs),

@@ -187,15 +187,44 @@ class TestCurriculum:
 
     def test_advance_on_success(self):
         state = curr.CurriculumState.init(self.SPEC)
-        # 10 successes fills the window above threshold -> lambda += 1/4
-        state = curr.update(self.SPEC, state, jnp.asarray(10), jnp.asarray(9))
+        # 9/10 successes fills the window above threshold -> lambda += 1/4
+        done = jnp.ones(10, bool)
+        succ = jnp.arange(10) < 9
+        state = curr.update(self.SPEC, state, done, succ)
         assert float(state.lam) == pytest.approx(0.25)
-        assert int(state.episode_count) == 0  # window cleared
+        assert int(state.filled) == 0  # window cleared
 
     def test_no_advance_below_threshold(self):
         state = curr.CurriculumState.init(self.SPEC)
-        state = curr.update(self.SPEC, state, jnp.asarray(10), jnp.asarray(3))
+        done = jnp.ones(10, bool)
+        succ = jnp.arange(10) < 3
+        state = curr.update(self.SPEC, state, done, succ)
         assert float(state.lam) == pytest.approx(0.0)
+
+    def test_window_slides_exactly(self):
+        # deque(maxlen=W) semantics: a full window that misses the threshold
+        # keeps sliding; old outcomes fall out as new ones arrive.
+        state = curr.CurriculumState.init(self.SPEC)
+        # Fill with 10 failures -> full window, rate 0.
+        state = curr.update(self.SPEC, state, jnp.ones(10, bool), jnp.zeros(10, bool))
+        assert float(state.lam) == 0.0 and int(state.filled) == 10
+        # 7 successes: window now [3 fails, 7 succ] -> 0.7, not > 0.7.
+        state = curr.update(self.SPEC, state, jnp.ones(7, bool), jnp.ones(7, bool))
+        assert float(state.sr_mean) == pytest.approx(0.7)
+        assert float(state.lam) == 0.0
+        # One more success: [2 fails, 8 succ] -> 0.8 > 0.7 -> advance + clear.
+        state = curr.update(self.SPEC, state, jnp.ones(1, bool), jnp.ones(1, bool))
+        assert float(state.lam) == pytest.approx(0.25)
+        assert int(state.filled) == 0
+
+    def test_partial_batch_masks(self):
+        # Only lanes with done=True contribute outcomes.
+        state = curr.CurriculumState.init(self.SPEC)
+        done = jnp.asarray([True, False, True, False])
+        succ = jnp.asarray([True, True, False, False])
+        state = curr.update(self.SPEC, state, done, succ)
+        assert int(state.filled) == 2
+        assert float(state.sr_mean) == pytest.approx(0.5)
 
     def test_eval_forces_lambda_one(self):
         state = curr.CurriculumState.init(self.SPEC, evaluate=True)

@@ -49,7 +49,7 @@ def test_curriculum_synchronized_across_devices(small_cfg):
     mesh = Mesh(np.array(jax.devices()), axis_names=("env",))
     trainer, state, _ = make_sharded_trainer(small_cfg, mesh, run_one_step=True)
     lam = np.asarray(state.curriculum.lam)
-    ep = np.asarray(state.curriculum.episode_count)
+    ep = np.asarray(state.curriculum.filled)
     assert lam.shape[0] == 8
     assert (lam == lam[0]).all()
     assert (ep == ep[0]).all()
