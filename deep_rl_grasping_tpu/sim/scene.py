@@ -57,9 +57,27 @@ def sample_objects(
     world_z = jnp.einsum("kij,ksj->ksi", R, local)[..., 2]
     smask = radii > 0.0
     lowest = jnp.min(jnp.where(smask, world_z - radii, jnp.inf), axis=-1)
-    # Tiny stagger so initially-overlapping objects separate during settling.
-    z_jitter = jax.random.uniform(k_z, (max_slots,), minval=0.0, maxval=0.005)
-    z = params.support_z - lowest + 1e-4 + z_jitter
+    rest_z = params.support_z - lowest + 1e-4
+
+    # Pile placement. The reference drops objects one at a time with 0.4 s
+    # of settling each (scene.py:26-33), so small extents (1 cm at lambda=0
+    # with 3 objects) produce stacks, never interpenetration. Spawning all
+    # objects at rest height simultaneously instead creates deep overlaps
+    # whose correction impulses eject them out of the workspace. Emulate
+    # the sequential drop analytically: place slots in order, lifting each
+    # just enough that its bounding sphere clears every earlier one.
+    bound = params.bound_radius[obj_type]  # (K,)
+    z_list = []
+    for k in range(max_slots):
+        zk = rest_z[k]
+        for i in range(k):
+            d2 = jnp.sum((xy[k] - xy[i]) ** 2)
+            rr = bound[k] + bound[i]
+            overlap = (d2 < rr * rr) & alive[i]
+            lift = jnp.sqrt(jnp.maximum(rr * rr - d2, 0.0))
+            zk = jnp.maximum(zk, jnp.where(overlap, z_list[i] + lift + 1e-3, -jnp.inf))
+        z_list.append(zk)
+    z = jnp.stack(z_list)
     pos = jnp.concatenate([xy, z[:, None]], axis=-1)
     zeros3 = jnp.zeros((max_slots, 3))
     return ObjectState(
