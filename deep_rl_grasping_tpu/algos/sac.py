@@ -49,7 +49,13 @@ class SAC:
         self.batch_size = int(c.get("batch_size", 256))
         self.layers = tuple(c.get("layers", [64, 64]))
         self.action_dim = int(action_dim)
-        self.target_entropy = -float(action_dim)
+        # Default target entropy is the SAC-paper -dim(A); configurable
+        # because the reference's TF1 SAC never actually reaches that
+        # equilibrium — its ent_coef decays to ~0 before the policy
+        # narrows, so it explores with a wide sigma for the whole run
+        # (SAC_depth_1mbuffer/logs.csv: entropy stays ~+3.5 at alpha 8e-4).
+        # Matching that exploration floor needs a higher target here.
+        self.target_entropy = float(c.get("target_entropy", -float(action_dim)))
         if image_obs is None:
             image_obs = len(obs_shape) == 3
         self.image_obs = image_obs
@@ -192,5 +198,11 @@ class SAC:
             alpha=alpha,
             entropy=-logp.mean(),
             td_abs=td_abs.mean(),
+            # divergence diagnostics: critic value on replay vs policy
+            # actions, Bellman target, and the normalized reward scale
+            q_target_mean=target.mean(),
+            reward_mean=batch["reward"].mean(),
+            reward_max=batch["reward"].max(),
+            done_frac=batch["done"].astype(jnp.float32).mean(),
         )
         return new_state, metrics, td_abs
