@@ -103,9 +103,9 @@ class BDQ:
             {"params": state.target_params}, batch["next_obs"]
         )  # (N, B, P)
         # Mean-over-branches of per-branch max (paper's TD target)
-        y = batch["reward"] + self.gamma * (
-            1.0 - batch["done"].astype(jnp.float32)
-        ) * q_next.max(-1).mean(-1)
+        disc = batch.get("discount",
+                         self.gamma * (1.0 - batch["done"].astype(jnp.float32)))
+        y = batch["reward"] + disc * q_next.max(-1).mean(-1)
         y = jax.lax.stop_gradient(y)
         a = batch["action"].astype(jnp.int32)  # (N, B)
 

@@ -109,9 +109,9 @@ class DDPG:
         q_next = self.critic.apply(
             {"params": state.target_critic_params}, batch["next_obs"], a_next
         )
-        target = batch["reward"] + self.gamma * (
-            1.0 - batch["done"].astype(jnp.float32)
-        ) * q_next
+        disc = batch.get("discount",
+                         self.gamma * (1.0 - batch["done"].astype(jnp.float32)))
+        target = batch["reward"] + disc * q_next
         target = jax.lax.stop_gradient(target)
 
         def critic_loss_fn(params):

@@ -75,9 +75,9 @@ class DQN:
 
     def update(self, state: DQNState, batch, key=None):
         q_next = self.net.apply({"params": state.target_params}, batch["next_obs"])
-        target = batch["reward"] + self.gamma * (
-            1.0 - batch["done"].astype(jnp.float32)
-        ) * q_next.max(-1)
+        disc = batch.get("discount",
+                         self.gamma * (1.0 - batch["done"].astype(jnp.float32)))
+        target = batch["reward"] + disc * q_next.max(-1)
         target = jax.lax.stop_gradient(target)
         a = batch["action"].astype(jnp.int32).reshape(-1)
 

@@ -81,38 +81,61 @@ def insert(buf: ReplayBuffer, obs, action, reward, done):
     )
 
 
-def _valid_range(buf: ReplayBuffer):
-    """Sampleable frames: written AND with their successor frame written
-    (the most recent batch has no successor yet)."""
-    return jnp.maximum(buf.size - buf.batch_stride, 0)
+def _valid_range(buf: ReplayBuffer, n_step=1):
+    """Sampleable frames: written AND with their n_step successor frames
+    written (the most recent batches have no successors yet)."""
+    return jnp.maximum(buf.size - n_step * buf.batch_stride, 0)
 
 
-def sample(buf: ReplayBuffer, key, batch_size):
-    """Uniform sample of transitions. Returns dict incl. obs/next_obs."""
-    n = _valid_range(buf)
+def _nstep_gather(buf: ReplayBuffer, idx, n_step, gamma):
+    """Accumulate n-step returns along the ring (stride = batch_stride).
+
+    reward_n = sum_i gamma^i r_{t+i}, truncated at (and including) the first
+    terminal; done_n = episode ended inside the window; next index = t+n.
+    Termination inside the window is safe because frames after a terminal
+    belong to the auto-reset episode and are gated out by `stop`.
+    """
+    acc_r = jnp.zeros(idx.shape, jnp.float32)
+    stop = jnp.zeros(idx.shape, bool)
+    for i in range(n_step):
+        idx_i = (idx + i * buf.batch_stride) % buf.capacity
+        acc_r = acc_r + (gamma ** i) * buf.reward[idx_i] * (~stop)
+        stop = stop | buf.done[idx_i]
+    nxt = (idx + n_step * buf.batch_stride) % buf.capacity
+    discount = (gamma ** n_step) * (~stop)
+    return acc_r, stop, nxt, discount
+
+
+def sample(buf: ReplayBuffer, key, batch_size, n_step=1, gamma=0.99):
+    """Uniform sample of (n-step) transitions. Returns dict incl.
+    obs/next_obs/reward/done and the bootstrap `discount` (0 when the
+    episode terminated inside the window, gamma^n otherwise)."""
+    n = _valid_range(buf, n_step)
     # Order slots oldest-first: slot i of the window maps to ring index
     # (ptr - size + i) mod C, which is valid for i < n.
     offs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(n, 1))
     idx = (buf.ptr - buf.size + offs) % buf.capacity
-    nxt = (idx + buf.batch_stride) % buf.capacity
+    reward, done, nxt, discount = _nstep_gather(buf, idx, n_step, gamma)
     img = (batch_size,) + buf.obs_shape
     return dict(
         obs=buf.obs[idx].astype(jnp.float32).reshape(img),
         action=buf.action[idx],
-        reward=buf.reward[idx],
-        done=buf.done[idx],
+        reward=reward,
+        done=done,
+        discount=discount,
         next_obs=buf.obs[nxt].astype(jnp.float32).reshape(img),
         idx=idx,
         weight=jnp.ones((batch_size,), jnp.float32),
     )
 
 
-def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
+def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4,
+                       n_step=1, gamma=0.99):
     """Proportional prioritized sampling (with replacement) via categorical
     over alpha-scaled log priorities, with importance weights. A dense
     categorical draw is the VPU-friendly equivalent of the host-side sum
     tree."""
-    n = _valid_range(buf)
+    n = _valid_range(buf, n_step)
     slots = jnp.arange(buf.capacity)
     idx_ring = (buf.ptr - buf.size + slots) % buf.capacity
     valid = slots < n
@@ -120,7 +143,7 @@ def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
     logits = jnp.where(valid, logits, -jnp.inf)
     top = jax.random.categorical(key, logits, shape=(batch_size,))
     idx = idx_ring[top]
-    nxt = (idx + buf.batch_stride) % buf.capacity
+    reward, done, nxt, discount = _nstep_gather(buf, idx, n_step, gamma)
     # Importance weights: w = (N * P(i))^-beta / max w
     p = jnp.maximum(buf.priority[idx], 1e-12) ** alpha
     z = jnp.sum(
@@ -133,8 +156,9 @@ def sample_prioritized(buf: ReplayBuffer, key, batch_size, alpha=0.6, beta=0.4):
     return dict(
         obs=buf.obs[idx].astype(jnp.float32).reshape(img),
         action=buf.action[idx],
-        reward=buf.reward[idx],
-        done=buf.done[idx],
+        reward=reward,
+        done=done,
+        discount=discount,
         next_obs=buf.obs[nxt].astype(jnp.float32).reshape(img),
         idx=idx,
         weight=w,

@@ -130,9 +130,9 @@ class SAC:
         q_next = self.critic.apply(
             {"params": state.target_critic_params}, batch["next_obs"], next_action
         ).min(-1)
-        target = batch["reward"] + self.gamma * (
-            1.0 - batch["done"].astype(jnp.float32)
-        ) * (q_next - alpha * next_logp)
+        disc = batch.get("discount",
+                         self.gamma * (1.0 - batch["done"].astype(jnp.float32)))
+        target = batch["reward"] + disc * (q_next - alpha * next_logp)
         target = jax.lax.stop_gradient(target)
 
         def critic_loss_fn(params):

@@ -117,10 +117,25 @@ def reset_scene(
         key, params, type_ids, max_slots, min_objects, max_objects, extent
     )
     # Settle with the gripper parked far above so it cannot interfere.
+    # Velocities are zeroed between phases ("cooling"): stacked spawns
+    # slump into resting piles instead of toppling with enough momentum to
+    # fling objects several cm out of the spawn extent. The reference's
+    # per-object 0.4 s sequential settle has the same gentle outcome
+    # (scene.py:26-33); episode-level grasp success depends on objects
+    # staying inside the gripper's narrow capture region at lambda=0.
     parked = init_gripper(1.0)
     state = SimState(gripper=parked, objects=objects)
     if settle_substeps > 0:
-        state = physics.run(state, params, settle_substeps)
+        phases = min(4, settle_substeps)
+        per = settle_substeps // phases
+        for _ in range(phases):
+            state = physics.run(state, params, per)
+            state = state.replace(
+                objects=state.objects.replace(
+                    linvel=jnp.zeros_like(state.objects.linvel),
+                    angvel=jnp.zeros_like(state.objects.angvel),
+                )
+            )
     state = SimState(
         gripper=init_gripper(initial_height),
         objects=state.objects.replace(

@@ -177,6 +177,9 @@ class Trainer(EvalMixin):
         self.buffer_size = int(algo_cfg.get("buffer_size", 200_000))
         self.batch_size = int(algo_cfg.get("batch_size", 256))
         self.learning_starts = int(algo_cfg.get("learning_starts", 1000))
+        # n-step returns (config <ALGO>.n_step): multi-step targets speed up
+        # propagation of the sparse terminal reward; 1 = classic TD(0).
+        self.n_step = int(algo_cfg.get("n_step", 1))
         self.prioritized = bool(getattr(self.algo, "prioritized", False))
 
         if self.env.discrete or self.algo_name == "BDQ":
@@ -261,9 +264,15 @@ class Trainer(EvalMixin):
         def update_once(algo_state, buffer, k):
             ks, ku = jax.random.split(k)
             if self.prioritized:
-                batch = replay_mod.sample_prioritized(buffer, ks, self.batch_size)
+                batch = replay_mod.sample_prioritized(
+                    buffer, ks, self.batch_size,
+                    n_step=self.n_step, gamma=self.algo.gamma,
+                )
             else:
-                batch = replay_mod.sample(buffer, ks, self.batch_size)
+                batch = replay_mod.sample(
+                    buffer, ks, self.batch_size,
+                    n_step=self.n_step, gamma=self.algo.gamma,
+                )
             if self.normalize:
                 batch["obs"] = norm_mod.normalize_obs(normalizer, batch["obs"])
                 batch["next_obs"] = norm_mod.normalize_obs(normalizer, batch["next_obs"])
