@@ -1,0 +1,127 @@
+"""Parity: fused Pallas solver kernel vs the XLA physics path.
+
+The kernel (ops/solver_pallas.py) mirrors sim/physics.py pass-for-pass, so
+states must agree to float tolerance after multi-substep runs, including the
+grasp-critical finger-squeeze behavior. Runs in interpret mode on the CPU
+test mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_rl_grasping_tpu.ops import solver_pallas
+from deep_rl_grasping_tpu.sim import objects as objlib
+from deep_rl_grasping_tpu.sim import physics, scene
+from deep_rl_grasping_tpu.sim.types import FINGER_CLOSED, SimState, make_sim_params
+
+
+@pytest.fixture(scope="module")
+def params():
+    lib = objlib.get_library(8)
+    return make_sim_params(lib, scene_type="OnFloor")
+
+
+def _make_states(params, B, key, height=0.15):
+    def one(k):
+        objects = scene.sample_objects(
+            k, params, jnp.arange(6, 106, dtype=jnp.int32), 3,
+            2, 3, jnp.asarray(0.03),
+        )
+        g = scene.init_gripper(height)
+        return SimState(gripper=g, objects=objects)
+
+    return jax.vmap(one)(jax.random.split(key, B))
+
+
+def _assert_close(ref: SimState, out: SimState, tol):
+    np.testing.assert_allclose(
+        np.asarray(out.gripper.q), np.asarray(ref.gripper.q), atol=tol,
+        err_msg="gripper q",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.gripper.qd), np.asarray(ref.gripper.qd), atol=20 * tol,
+        err_msg="gripper qd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.objects.pos), np.asarray(ref.objects.pos), atol=tol,
+        err_msg="object pos",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.objects.quat), np.asarray(ref.objects.quat),
+        atol=10 * tol, err_msg="object quat",
+    )
+
+
+def test_freefall_settle_parity(params):
+    """Objects dropped above the floor: gravity, plane contacts, stacking."""
+    B = 4
+    states = _make_states(params, B, jax.random.PRNGKey(0))
+    # raise objects slightly so the first substeps are ballistic
+    states = states.replace(
+        objects=states.objects.replace(
+            pos=states.objects.pos + jnp.array([0.0, 0.0, 0.01])
+        )
+    )
+    n = 12
+    ref = jax.vmap(lambda s: physics.run(s, params, n))(states)
+    out = solver_pallas.run_batched_sim(
+        states, params, n, block_e=B, interpret=True
+    )
+    _assert_close(ref, out, 2e-4)
+
+
+def test_servo_move_parity(params):
+    """Gripper servos driving toward a pose target."""
+    B = 4
+    states = _make_states(params, B, jax.random.PRNGKey(1))
+    g = states.gripper
+    tgt = jnp.tile(jnp.asarray([0.02, -0.015, 0.09, 0.4]), (B, 1))
+    states = states.replace(gripper=g.replace(target=tgt))
+    n = 24
+    ref = jax.vmap(lambda s: physics.run(s, params, n))(states)
+    out = solver_pallas.run_batched_sim(
+        states, params, n, block_e=B, interpret=True
+    )
+    _assert_close(ref, out, 5e-4)
+
+
+def test_grasp_squeeze_parity(params):
+    """Closing the fingers onto objects at grasp height: the stiff two-pad
+    squeeze with motor rows is the behavior the RL task depends on."""
+    B = 4
+    states = _make_states(params, B, jax.random.PRNGKey(2), height=0.08)
+    g = states.gripper
+    tgt = g.q[:, :4]
+    states = states.replace(
+        gripper=g.replace(
+            target=tgt,
+            finger_target=jnp.full((B,), FINGER_CLOSED),
+            gripper_close=jnp.ones((B,), bool),
+        )
+    )
+    n = 48
+    ref = jax.vmap(lambda s: physics.run(s, params, n))(states)
+    out = solver_pallas.run_batched_sim(
+        states, params, n, block_e=B, interpret=True
+    )
+    _assert_close(ref, out, 2e-3)
+    # widths must agree so grasp detection (width > 5 mm) is identical
+    w_ref = jax.vmap(physics.gripper_width)(ref.gripper.q)
+    w_out = jax.vmap(physics.gripper_width)(out.gripper.q)
+    np.testing.assert_allclose(
+        np.asarray(w_out), np.asarray(w_ref), atol=1e-3
+    )
+
+
+def test_batch_padding(params):
+    """Batch sizes that don't divide block_e round-trip unchanged."""
+    B = 3
+    states = _make_states(params, B, jax.random.PRNGKey(3))
+    n = 4
+    ref = jax.vmap(lambda s: physics.run(s, params, n))(states)
+    out = solver_pallas.run_batched_sim(
+        states, params, n, block_e=4, interpret=True
+    )
+    _assert_close(ref, out, 2e-4)
