@@ -349,43 +349,41 @@ class GraspEnv:
         )
         return sim.replace(objects=obj.replace(alive=alive), gripper=g)
 
-    def _step_core(self, state: EnvState, action):
-        """One control step (pre-reset): physics + reward + status."""
-        sim, cmd = self._apply_action(state.sim, action)
+    # The control step is split into per-env glue (action decode, triggers,
+    # rewards) and pure physics phases, so BatchedGraspEnv can route the
+    # physics through the fused Pallas kernel (ops/solver_pallas.py) while
+    # vmapping only the cheap glue. _step_core composes the same pieces for
+    # the single-env (vmapped XLA) path.
+
+    def _simplified_trigger(self, sim: SimState):
+        """Phase A->B glue (rewards.py:71-80): close at h < 0.07."""
+        h = sim.gripper.q[2]
+        trigger = h < 0.07
+        g = sim.gripper
+        g = g.replace(
+            finger_target=jnp.where(trigger, FINGER_CLOSED, g.finger_target),
+            gripper_close=g.gripper_close | trigger,
+        )
+        return sim.replace(gripper=g), trigger, h
+
+    def _simplified_lift(self, sim: SimState, trigger):
+        """Phase B->C glue: raise the z target 5 cm for triggered envs."""
+        g = sim.gripper
+        lift_target = g.target.at[2].add(jnp.where(trigger, 0.05, 0.0))
+        return sim.replace(gripper=g.replace(target=lift_target))
+
+    def _simplified_outcome_core(self, state, sim, trigger, h):
+        detected = self.object_detected(sim)
+        r_attempt, s_attempt = rew.simplified_outcome(detected)
+        r_move, s_move, rs_move = rew.simplified_descend(
+            self.reward_spec, state.reward_state, h
+        )
+        reward = jnp.where(trigger, r_attempt, r_move)
+        status = jnp.where(trigger, s_attempt, s_move)
+        return state.replace(sim=sim, reward_state=rs_move), reward, status
+
+    def _full_outcome_core(self, state, sim):
         rs = state.reward_state
-
-        if self.simplified:
-            # Phase A: the commanded move (run(0.1), robot.py:248)
-            sim = physics.run(sim, self.sim_params, self.move_substeps)
-            h = sim.gripper.q[2]
-            trigger = h < 0.07
-            # Phase B: SimplifiedReward's grasp attempt (rewards.py:71-80):
-            # close the gripper, lift by 5 cm, check the object is held.
-            # Non-triggering envs hold position through the same schedule.
-            g = sim.gripper
-            g = g.replace(
-                finger_target=jnp.where(trigger, FINGER_CLOSED, g.finger_target),
-                gripper_close=g.gripper_close | trigger,
-            )
-            sim = physics.run(sim.replace(gripper=g), self.sim_params, self.gripper_substeps)
-            g = sim.gripper
-            lift_target = g.target.at[2].add(jnp.where(trigger, 0.05, 0.0))
-            sim = physics.run(
-                sim.replace(gripper=g.replace(target=lift_target)),
-                self.sim_params,
-                2 * self.move_substeps,
-            )
-            detected = self.object_detected(sim)
-            r_attempt, s_attempt = rew.simplified_outcome(detected)
-            r_move, s_move, rs_move = rew.simplified_descend(self.reward_spec, rs, h)
-            reward = jnp.where(trigger, r_attempt, r_move)
-            status = jnp.where(trigger, s_attempt, s_move)
-            new_rs = rs_move
-            return state.replace(sim=sim, reward_state=new_rs), reward, status
-
-        # Full env: uniform schedule covering both run(0.1) moves and
-        # run(0.2) gripper toggles.
-        sim = physics.run(sim, self.sim_params, self.gripper_substeps)
         h = sim.gripper.q[2]
         detected = self.object_detected(sim)
         if self.reward_spec.table_clearing:
@@ -402,14 +400,28 @@ class GraspEnv:
             )
         return state.replace(sim=sim, reward_state=new_rs), reward, status
 
-    def step(self, state: EnvState, action, lam):
-        """Full step with auto-reset. Returns (state, obs, reward, done, info).
+    def _step_core(self, state: EnvState, action):
+        """One control step (pre-reset): physics + reward + status."""
+        sim, cmd = self._apply_action(state.sim, action)
 
-        Follows VecEnv semantics (the reference trains through DummyVecEnv):
-        when an episode ends, the returned obs belongs to the *next* episode
-        while reward/info describe the finished one.
-        """
-        stepped, reward, status = self._step_core(state, action)
+        if self.simplified:
+            # Phase A: the commanded move (run(0.1), robot.py:248)
+            sim = physics.run(sim, self.sim_params, self.move_substeps)
+            # Phase B: SimplifiedReward grasp attempt; phase C: lift 5 cm.
+            sim, trigger, h = self._simplified_trigger(sim)
+            sim = physics.run(sim, self.sim_params, self.gripper_substeps)
+            sim = self._simplified_lift(sim, trigger)
+            sim = physics.run(sim, self.sim_params, 2 * self.move_substeps)
+            return self._simplified_outcome_core(state, sim, trigger, h)
+
+        # Full env: uniform schedule covering both run(0.1) moves and
+        # run(0.2) gripper toggles.
+        sim = physics.run(sim, self.sim_params, self.gripper_substeps)
+        return self._full_outcome_core(state, sim)
+
+    def _finalize_step(self, state: EnvState, stepped: EnvState, reward,
+                       status, lam):
+        """Time-limit, episode accounting, auto-reset, observation."""
         time_limit = (status == rew.RUNNING) & (
             stepped.episode_step >= self.time_horizon - 1
         )
@@ -437,6 +449,16 @@ class GraspEnv:
         }
         return next_state, obs, reward, done, info
 
+    def step(self, state: EnvState, action, lam):
+        """Full step with auto-reset. Returns (state, obs, reward, done, info).
+
+        Follows VecEnv semantics (the reference trains through DummyVecEnv):
+        when an episode ends, the returned obs belongs to the *next* episode
+        while reward/info describe the finished one.
+        """
+        stepped, reward, status = self._step_core(state, action)
+        return self._finalize_step(state, stepped, reward, status, lam)
+
     def reset(self, key, lam, settle_substeps=48):
         state = self.reset_env(key, lam, settle_substeps=settle_substeps)
         return state, self.observe(state)
@@ -450,13 +472,25 @@ def _bcast(flag, ref):
 class BatchedGraspEnv:
     """vmap wrapper + shared curriculum (replaces VecEnv, SURVEY.md §2.17)."""
 
-    def __init__(self, env: GraspEnv, num_envs: int, pmean_axis=None):
+    def __init__(self, env: GraspEnv, num_envs: int, pmean_axis=None,
+                 use_pallas=None):
         self.env = env
         self.num_envs = num_envs
         self.curriculum_spec = env.curriculum_spec
         # Mesh axis for cross-device curriculum aggregation (the success
         # window is global, like the reference's single shared deque).
         self.pmean_axis = pmean_axis
+        # Fused Pallas solver for the physics phases (ops/solver_pallas.py):
+        # default on when running on TPU, off on CPU (where the Mosaic
+        # kernel would run interpreted); config tpu.use_pallas_solver
+        # overrides. The vmapped XLA path stays as the fallback/reference.
+        if use_pallas is None:
+            use_pallas = env.config.get("tpu", {}).get("use_pallas_solver")
+        if use_pallas is None:
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
 
     def init_curriculum(self):
         return curr.CurriculumState.init(self.curriculum_spec, self.env.evaluate)
@@ -468,10 +502,49 @@ class BatchedGraspEnv:
         )(keys)
         return states, obs
 
+    def _step_envs_pallas(self, states, actions, lam):
+        """Batched control step with physics through the fused kernel:
+        vmapped glue around solver_pallas.run_batched_sim, same composition
+        as GraspEnv._step_core + _finalize_step."""
+        from deep_rl_grasping_tpu.ops import solver_pallas
+
+        env = self.env
+        params = env.sim_params
+        sim, _cmd = jax.vmap(env._apply_action)(states.sim, actions)
+
+        if env.simplified:
+            sim = solver_pallas.run_batched_sim(sim, params, env.move_substeps)
+            sim, trigger, h = jax.vmap(env._simplified_trigger)(sim)
+            sim = solver_pallas.run_batched_sim(
+                sim, params, env.gripper_substeps
+            )
+            sim = jax.vmap(env._simplified_lift)(sim, trigger)
+            sim = solver_pallas.run_batched_sim(
+                sim, params, 2 * env.move_substeps
+            )
+            stepped, reward, status = jax.vmap(env._simplified_outcome_core)(
+                states, sim, trigger, h
+            )
+        else:
+            sim = solver_pallas.run_batched_sim(
+                sim, params, env.gripper_substeps
+            )
+            stepped, reward, status = jax.vmap(env._full_outcome_core)(
+                states, sim
+            )
+        return jax.vmap(
+            lambda st, sp, r, su: env._finalize_step(st, sp, r, su, lam)
+        )(states, stepped, reward, status)
+
     def step(self, states, actions, curriculum_state):
-        states, obs, rewards, dones, infos = jax.vmap(
-            lambda s, a: self.env.step(s, a, curriculum_state.lam)
-        )(states, actions)
+        if self.use_pallas:
+            states, obs, rewards, dones, infos = self._step_envs_pallas(
+                states, actions, curriculum_state.lam
+            )
+        else:
+            states, obs, rewards, dones, infos = jax.vmap(
+                lambda s, a: self.env.step(s, a, curriculum_state.lam)
+            )(states, actions)
         done_mask = dones
         succ_mask = dones & infos["is_success"]
         if self.pmean_axis is not None:

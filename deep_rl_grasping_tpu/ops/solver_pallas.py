@@ -154,19 +154,23 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                pos_ref, quat_ref, lin_ref, ang_ref, alive_ref,
                cent_ref, rad_ref, invm_ref, invI_ref,
                q_out, qd_out, pos_out, quat_out, lin_out, ang_out):
+        # Everything vector-valued is component-major: Mosaic only lowers
+        # 2D gathers, so middle-dim integer slices like pos[:, c] are out;
+        # leading-dim slices are plain contiguous loads. Object 3-vectors
+        # (pos, vel) live as tuples of (K,E) planes inside the substep.
         q0 = tuple(q_ref[d, :] for d in range(6))
         qd0 = tuple(qd_ref[d, :] for d in range(6))
         target = tuple(tgt_ref[d, :] for d in range(4))
         ftgt = ftgt_ref[0, :]
-        pos0 = pos_ref[...]       # (K,3,E)
-        quat0 = quat_ref[...]     # (K,4,E)
-        V0 = lin_ref[...]
-        W0 = ang_ref[...]
+        pos0 = tuple(pos_ref[c] for c in range(3))      # (K,E) x3
+        quat0 = tuple(quat_ref[c] for c in range(4))    # (K,E) x4
+        V0 = tuple(lin_ref[c] for c in range(3))
+        W0 = tuple(ang_ref[c] for c in range(3))
         alive = alive_ref[...]    # (K,E) f32
-        cent_l = cent_ref[...]    # (K,S,3,E)
+        cent_l = cent_ref[...]    # (3,K,S,E)
         radii = rad_ref[...]      # (K,S,E)
         inv_m = invm_ref[...]     # (K,E)
-        inv_I_diag = invI_ref[...]  # (K,3,E)
+        inv_I_diag = tuple(invI_ref[c] for c in range(3))  # (K,E) x3
         E = q0[0].shape[-1]
 
         smask = _f(radii > 0.0) * alive[:, None, :]
@@ -181,11 +185,10 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             # ---- 1. free-velocity update + servo plan
             qd[2] = qd[2] + sp["gravity"] * dt
-            gz = jnp.zeros_like(V)
-            V = (V + gz.at[:, 2, :].add(sp["gravity"] * dt)) * (
-                1.0 - sp["lin_damping"] * dt
-            )
-            W = W * (1.0 - sp["ang_damping"] * dt)
+            ld = 1.0 - sp["lin_damping"] * dt
+            V = (V[0] * ld, V[1] * ld, (V[2] + sp["gravity"] * dt) * ld)
+            ad = 1.0 - sp["ang_damping"] * dt
+            W = (W[0] * ad, W[1] * ad, W[2] * ad)
 
             tz = jnp.maximum(target[2], floor_q2)
             full_target = (target[0], target[1], tz, target[3], ftgt, ftgt)
@@ -201,7 +204,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 )
 
             # ---- rotation matrices + world inverse inertia planes (K,E)
-            qx, qy, qz_, qw = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+            qx, qy, qz_, qw = quat
             R = {
                 (0, 0): 1 - 2 * (qy * qy + qz_ * qz_),
                 (0, 1): 2 * (qx * qy - qw * qz_),
@@ -213,7 +216,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 (2, 1): 2 * (qy * qz_ + qw * qx),
                 (2, 2): 1 - 2 * (qx * qx + qy * qy),
             }
-            d0, d1, d2 = inv_I_diag[:, 0], inv_I_diag[:, 1], inv_I_diag[:, 2]
+            d0, d1, d2 = inv_I_diag
 
             def iI_plane(i, j):
                 return (
@@ -230,10 +233,10 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             # ---- world sphere centers (K,S,E) components
             cw = tuple(
-                pos[:, c, None, :]
-                + R[(c, 0)][:, None, :] * cent_l[:, :, 0, :]
-                + R[(c, 1)][:, None, :] * cent_l[:, :, 1, :]
-                + R[(c, 2)][:, None, :] * cent_l[:, :, 2, :]
+                pos[c][:, None, :]
+                + R[(c, 0)][:, None, :] * cent_l[0]
+                + R[(c, 1)][:, None, :] * cent_l[1]
+                + R[(c, 2)][:, None, :] * cent_l[2]
                 for c in range(3)
             )
 
@@ -355,12 +358,12 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             # masses are recomputed inside each pass for the object pairs to
             # bound VMEM (the (NP,S,S,E) planes dominate).
             def obj_slot_vel(V, W, r):
-                Vk = tuple(V[:, c, None, :] for c in range(3))
-                Wk = tuple(W[:, c, None, :] for c in range(3))
+                Vk = tuple(V[c][:, None, :] for c in range(3))
+                Wk = tuple(W[c][:, None, :] for c in range(3))
                 return _add(Vk, _cross(Wk, r))
 
             # statics constants
-            st_r = tuple(st_pt[c] - pos[:, c, None, :][None] for c in range(3))
+            st_r = tuple(st_pt[c] - pos[c][None, :, None, :] for c in range(3))
             st_bias = jnp.minimum(
                 bias_coef * jnp.maximum(st_pen - sp["slop"], 0.0),
                 sp["max_bias_velocity"],
@@ -378,8 +381,8 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             pl_rb = pad_geo(pl_pt)
             pr_rb = pad_geo(pr_pt)
-            pl_r = tuple(pl_pt[c] - pos[:, c, None, :] for c in range(3))
-            pr_r = tuple(pr_pt[c] - pos[:, c, None, :] for c in range(3))
+            pl_r = tuple(pl_pt[c] - pos[c][:, None, :] for c in range(3))
+            pr_r = tuple(pr_pt[c] - pos[c][:, None, :] for c in range(3))
             pl_bias = jnp.minimum(
                 bias_coef * jnp.maximum(pl_pen - sp["slop"], 0.0),
                 sp["max_bias_velocity"],
@@ -417,11 +420,11 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             # object-pair broadcast views
             oo_pos_i = tuple(
-                jnp.stack([pos[i, c] for i in ii])[:, None, None, :]
+                jnp.stack([pos[c][i] for i in ii])[:, None, None, :]
                 for c in range(3)
             )
             oo_pos_j = tuple(
-                jnp.stack([pos[j, c] for j in jj])[:, None, None, :]
+                jnp.stack([pos[c][j] for j in jj])[:, None, None, :]
                 for c in range(3)
             )
             oo_ra = _sub(oo_pt, oo_pos_i)
@@ -450,12 +453,16 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 dV = tuple((p * inv_m_flat).sum(sum_axes) for p in Pm)
                 tq = _cross(r, Pm)
                 dW = tuple(t.sum(sum_axes) for t in _iI_apply(iI_k, tq))
-                V = V + jnp.stack(dV, axis=1)
-                W = W + jnp.stack(dW, axis=1)
-                return V, W
+                return _add(V, dV), _add(W, dW)
 
             def apply_pair(V, W, P, act, r_a, r_b):
+                # Static accumulation per object (no scatter: Pallas TPU has
+                # no scatter-add lowering; the pair list is static anyway).
                 Pm = _scale(P, act)
+                E_ = Pm[0].shape[-1]
+                zero3 = [jnp.zeros((E_,), jnp.float32) for _ in range(3)]
+                dV = [list(zero3) for _ in range(K)]
+                dW = [list(zero3) for _ in range(K)]
                 for pi, (i, j) in enumerate(P_list):
                     Pp = tuple(p[pi].sum((0, 1)) for p in Pm)
                     tq_a = tuple(
@@ -474,10 +481,19 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                     )
                     dW_a = _iI_apply(tuple(p[i] for p in iI), tq_a)
                     dW_b = _iI_apply(tuple(p[j] for p in iI), tq_b)
-                    V = V.at[i].add(jnp.stack([p * inv_m[i] for p in Pp]))
-                    V = V.at[j].add(-jnp.stack([p * inv_m[j] for p in Pp]))
-                    W = W.at[i].add(jnp.stack(dW_a))
-                    W = W.at[j].add(-jnp.stack(dW_b))
+                    for c in range(3):
+                        dV[i][c] = dV[i][c] + Pp[c] * inv_m[i]
+                        dV[j][c] = dV[j][c] - Pp[c] * inv_m[j]
+                        dW[i][c] = dW[i][c] + dW_a[c]
+                        dW[j][c] = dW[j][c] - dW_b[c]
+                V = tuple(
+                    V[c] + jnp.stack([dV[k][c] for k in range(K)])
+                    for c in range(3)
+                )
+                W = tuple(
+                    W[c] + jnp.stack([dW[k][c] for k in range(K)])
+                    for c in range(3)
+                )
                 return V, W
 
             def project(lam, v_n, v_t1, v_t2, w_n, w_t1, w_t2, bias,
@@ -504,8 +520,8 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 w_n = w_obj_dir(st_r, st_n, iI_b, invm_b)
                 w_t1 = w_obj_dir(st_r, t1, iI_b, invm_b)
                 w_t2 = w_obj_dir(st_r, t2, iI_b, invm_b)
-                Vk = tuple(V[:, c, None, :][None] for c in range(3))
-                Wk = tuple(W[:, c, None, :][None] for c in range(3))
+                Vk = tuple(V[c][None, :, None, :] for c in range(3))
+                Wk = tuple(W[c][None, :, None, :] for c in range(3))
                 v = _add(Vk, _cross(Wk, st_r))
                 lam, dP = project(
                     lam, _dot(v, st_n), _dot(v, t1), _dot(v, t2),
@@ -521,9 +537,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 dW = tuple(
                     t.sum((0, 2)) for t in _iI_apply(iI_b, tq)
                 )
-                V = V + jnp.stack(dV, axis=1)
-                W = W + jnp.stack(dW, axis=1)
-                return V, W, lam
+                return _add(V, dV), _add(W, dW), lam
 
             def pass_pad(V, W, qd, lam, n, pen_bias, act, r, rb, axis, fdof,
                          om, bias_scale, warm_vals=None):
@@ -571,19 +585,19 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 w_t1 = oo_w(t1)
                 w_t2 = oo_w(t2)
                 Vi = tuple(
-                    jnp.stack([V[i, c] for i in ii])[:, None, None, :]
+                    jnp.stack([V[c][i] for i in ii])[:, None, None, :]
                     for c in range(3)
                 )
                 Wi = tuple(
-                    jnp.stack([W[i, c] for i in ii])[:, None, None, :]
+                    jnp.stack([W[c][i] for i in ii])[:, None, None, :]
                     for c in range(3)
                 )
                 Vj = tuple(
-                    jnp.stack([V[j, c] for j in jj])[:, None, None, :]
+                    jnp.stack([V[c][j] for j in jj])[:, None, None, :]
                     for c in range(3)
                 )
                 Wj = tuple(
-                    jnp.stack([W[j, c] for j in jj])[:, None, None, :]
+                    jnp.stack([W[c][j] for j in jj])[:, None, None, :]
                     for c in range(3)
                 )
                 v = _sub(
@@ -621,8 +635,8 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 t.sum((0, 2))
                 for t in _iI_apply(tuple(p[None] for p in iI_k), tq)
             )
-            V = V + jnp.stack(dV, axis=1)
-            W = W + jnp.stack(dW, axis=1)
+            V = _add(V, dV)
+            W = _add(W, dW)
             lam_st = lam_w
 
             lam_w = gated(lam_pl, no_pl, pl_n, pl_act)
@@ -694,12 +708,11 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             )
 
             # ---------------------------------------------------- integrate
-            alive_b = alive[:, None, :]
-            V = jnp.clip(V, -4.0, 4.0) * alive_b
-            W = jnp.clip(W, -50.0, 50.0) * alive_b
-            pos = pos + V * dt
-            ox, oy, oz = W[:, 0], W[:, 1], W[:, 2]
-            qxx, qyy, qzz, qww = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+            V = tuple(jnp.clip(v, -4.0, 4.0) * alive for v in V)
+            W = tuple(jnp.clip(w, -50.0, 50.0) * alive for w in W)
+            pos = tuple(pos[c] + V[c] * dt for c in range(3))
+            ox, oy, oz = W
+            qxx, qyy, qzz, qww = quat
             dqx = qww * ox + (oy * qzz - oz * qyy)
             dqy = qww * oy + (oz * qxx - ox * qzz)
             dqz = qww * oz + (ox * qyy - oy * qxx)
@@ -715,7 +728,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 ),
                 1e-9,
             )
-            quat = jnp.stack([c / qn for c in nq], axis=1)
+            quat = tuple(c / qn for c in nq)
 
             qd = list(qd)
             q = [q[d] + qd[d] * dt for d in range(6)]
@@ -746,10 +759,12 @@ def _make_kernel(sp: dict, K, S, n_substeps):
         for d in range(6):
             q_out[d, :] = q[d]
             qd_out[d, :] = qd[d]
-        pos_out[...] = pos
-        quat_out[...] = quat
-        lin_out[...] = V
-        ang_out[...] = W
+        for c in range(3):
+            pos_out[c] = pos[c]
+            lin_out[c] = V[c]
+            ang_out[c] = W[c]
+        for c in range(4):
+            quat_out[c] = quat[c]
 
     return kernel
 
@@ -803,13 +818,17 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
         pad = [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)]
         return jnp.pad(x, pad)
 
+    cm = lambda x: jnp.swapaxes(x, 1, 2)  # (B,K,C) -> (B,C,K)
     inputs = [
         to_lanes(gq), to_lanes(gqd), to_lanes(gtarget),
         to_lanes(gftgt[:, None]),
-        to_lanes(opos), to_lanes(oquat), to_lanes(olin), to_lanes(oang),
+        # component-major object vectors: see the 2D-gather note in kernel
+        to_lanes(cm(opos)), to_lanes(cm(oquat)), to_lanes(cm(olin)),
+        to_lanes(cm(oang)),
         to_lanes(oalive.astype(jnp.float32)),
-        to_lanes(centers), to_lanes(radii), to_lanes(inv_mass),
-        to_lanes(inv_inertia),
+        to_lanes(jnp.transpose(centers, (0, 3, 1, 2))),
+        to_lanes(radii), to_lanes(inv_mass),
+        to_lanes(cm(inv_inertia)),
     ]
     kernel = _make_kernel(_scalar_params(params), K, S, n_substeps)
 
@@ -823,13 +842,13 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
 
     shapes = [
         (6, block_e), (6, block_e), (4, block_e), (1, block_e),
-        (K, 3, block_e), (K, 4, block_e), (K, 3, block_e), (K, 3, block_e),
+        (3, K, block_e), (4, K, block_e), (3, K, block_e), (3, K, block_e),
         (K, block_e),
-        (K, S, 3, block_e), (K, S, block_e), (K, block_e), (K, 3, block_e),
+        (3, K, S, block_e), (K, S, block_e), (K, block_e), (3, K, block_e),
     ]
     out_shapes = [
-        (6, block_e), (6, block_e), (K, 3, block_e), (K, 4, block_e),
-        (K, 3, block_e), (K, 3, block_e),
+        (6, block_e), (6, block_e), (3, K, block_e), (4, K, block_e),
+        (3, K, block_e), (3, K, block_e),
     ]
     outs = pl.pallas_call(
         kernel,
@@ -846,7 +865,13 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
     def from_lanes(x):
         return jnp.moveaxis(x[..., :B], -1, 0)
 
-    return tuple(from_lanes(o) for o in outs)
+    q_o, qd_o, pos_o, quat_o, lin_o, ang_o = (from_lanes(o) for o in outs)
+    # back to env-first (B,K,C) object vectors
+    cm_back = lambda x: jnp.swapaxes(x, 1, 2)
+    return (
+        q_o, qd_o, cm_back(pos_o), cm_back(quat_o),
+        cm_back(lin_o), cm_back(ang_o),
+    )
 
 
 def run_batched_sim(states: SimState, params: SimParams, n_substeps: int,

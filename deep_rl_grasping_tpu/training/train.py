@@ -115,6 +115,19 @@ def train(args):
         )
         logging.info("warm-started learner from %s", args.load_dir)
 
+    # Demonstration seeding (config tpu.demo_frames): scripted-expert
+    # frames fill the replay before learning starts (see Trainer.seed_demos).
+    demo_frames = int(config.get("tpu", {}).get("demo_frames", 0))
+    if demo_frames > 0 and algo in OFF_POLICY and not getattr(args, "load_dir", None):
+        seed_fn = jax.jit(
+            lambda s: trainer.seed_demos(s, demo_frames), donate_argnums=0
+        )
+        state, n_done, n_succ = seed_fn(state)
+        logging.info(
+            "seeded %d demo frames: %d episodes, %.1f%% success",
+            demo_frames, int(n_done), 100.0 * float(n_succ) / max(float(n_done), 1.0),
+        )
+
     monitor = cb.MonitorLogger(model_dir)
     scalars = cb.ScalarLogger(model_dir)
     # Binary TensorBoard events (sb_helper.py:40-53 TensorboardCallback

@@ -224,6 +224,63 @@ class Trainer(EvalMixin):
             ep_len_sum=jnp.asarray(0.0, jnp.float32),
         )
 
+    # ------------------------------------------------------------------ demos
+
+    def seed_demos(self, state: LoopState, n_frames: int) -> LoopState:
+        """Pre-fill the replay buffer with scripted-expert transitions.
+
+        SAC on the full task cannot amplify the ~3-4% random-grasp success
+        floor of this env (the policy narrows before the critic ever sees
+        enough terminal rewards); seeding the buffer with scripted
+        descend-close-lift episodes (envs/scripted.py) gives the critic a
+        dense success signal to propagate. Normalizer stats fold the demo
+        frames in; the curriculum window is left untouched (demo successes
+        must not advance lambda — the policy hasn't earned it).
+        """
+        from deep_rl_grasping_tpu.envs import scripted
+
+        if self.env.discrete:
+            raise ValueError("demo seeding supports continuous tasks only")
+        expert = (
+            scripted.scripted_simplified_action
+            if self.env.simplified
+            else scripted.scripted_full_action
+        )
+        steps = max(n_frames // self.num_envs, 1)
+
+        def body(carry, _):
+            env_states, obs, buffer, normalizer, key = carry
+            key, ka = jax.random.split(key)
+            keys = jax.random.split(ka, self.num_envs)
+            actions = jax.vmap(lambda s, k: expert(self.env, s, k))(
+                env_states, keys
+            )
+            env_states, next_obs, rewards, dones, infos, _cur = self.benv.step(
+                env_states, actions, state.curriculum
+            )
+            normalizer = norm_mod.update_batch(
+                normalizer, obs, rewards, dones,
+                gamma=self.algo.gamma, training=self.normalize,
+            )
+            buffer = replay_mod.insert(buffer, obs, actions, rewards, dones)
+            n_succ = (dones & infos["is_success"]).sum(dtype=jnp.float32)
+            n_done = dones.sum(dtype=jnp.float32)
+            return (env_states, next_obs, buffer, normalizer, key), (
+                n_done, n_succ,
+            )
+
+        (env_states, obs, buffer, normalizer, key), (nd, ns) = jax.lax.scan(
+            body,
+            (state.env_states, state.obs, state.buffer, state.normalizer,
+             state.key),
+            None,
+            length=steps,
+        )
+        return state.replace(
+            env_states=env_states, obs=obs, buffer=buffer,
+            normalizer=normalizer, key=key,
+        ), nd.sum(), ns.sum()
+
     # ------------------------------------------------------------------ core
 
     def _policy_params(self, algo_state):
