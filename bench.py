@@ -1,9 +1,20 @@
-"""Headline benchmark: env throughput (physics + 64x64 depth render + SAC act)
-on the flagship full-grasping task, batched on one TPU chip.
+"""Headline benchmark: env throughput on the flagship full-grasping task,
+batched on one TPU chip through the fused Pallas solver + raster kernels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  metric/value/unit/vs_baseline  — collect throughput (physics + 64x64
+                                   depth render + SAC policy act)
+  train_steps_per_s/train_vs_baseline — full training-loop throughput
+                                   including SAC gradient updates at the
+                                   reference's 64-samples-per-frame replay
+                                   ratio (the baseline's 11.2 steps/s also
+                                   included its training time)
+
 Baseline: the reference steps the same task at ~11.2 env steps/s on CPU
 (BASELINE.md: SAC_depth_1mbuffer monitor log, step+render+train).
+
+A jax.profiler trace of the steady-state collect loop is saved under
+out/profiles/bench/ for kernel-level inspection (SURVEY.md §5 tracing).
 """
 
 import functools
@@ -23,16 +34,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_STEPS_PER_S = 11.2
 
 
-def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-
-    from deep_rl_grasping_tpu.envs import curriculum as curr_mod
+def bench_collect(num_envs, iters):
     from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
     from deep_rl_grasping_tpu.algos.sac import SAC
     from deep_rl_grasping_tpu.utils import config as cfg_util
 
-    cfg = cfg_util.load_config(os.path.join(os.path.dirname(__file__), "configs", "gripper_grasp.yaml"))
+    cfg = cfg_util.load_config(
+        os.path.join(os.path.dirname(__file__), "configs", "gripper_grasp.yaml")
+    )
     env = GraspEnv(cfg)
     benv = BatchedGraspEnv(env, num_envs)
     sac = SAC(env.obs_shape, env.action_dim, cfg)
@@ -57,31 +66,72 @@ def main():
         return states, obs, cur, rs.sum()
 
     states, obs = jax.jit(benv.reset)(k_env, curriculum)
-    # warmup/compile
     n_inner = 5
+    # Two warmups: the first compiles the reset-sourced signature, the
+    # second the rollout-sourced one (weak-type differences would otherwise
+    # retrace on every timed call).
+    states, obs, curriculum, _ = rollout(
+        states, obs, curriculum, algo_state.actor_params, k_run, n_inner
+    )
     states, obs, curriculum, _ = rollout(
         states, obs, curriculum, algo_state.actor_params, k_run, n_inner
     )
     jax.block_until_ready(obs)
 
+    prof_dir = os.path.join(os.path.dirname(__file__), "out", "profiles", "bench")
+    os.makedirs(prof_dir, exist_ok=True)
     t0 = time.perf_counter()
     total = 0
-    for i in range(iters):
-        states, obs, curriculum, s = rollout(
-            states, obs, curriculum, algo_state.actor_params, k_run, n_inner
-        )
-        total += n_inner * num_envs
-    jax.block_until_ready(obs)
-    dt = time.perf_counter() - t0
-    steps_per_s = total / dt
+    with jax.profiler.trace(prof_dir):
+        for i in range(iters):
+            states, obs, curriculum, s = rollout(
+                states, obs, curriculum, algo_state.actor_params, k_run, n_inner
+            )
+            total += n_inner * num_envs
+        jax.block_until_ready(obs)
+    return total / (time.perf_counter() - t0)
 
+
+def bench_train(num_envs, iters):
+    """Training-loop throughput: collect + SAC updates at the reference's
+    64-samples-per-frame replay ratio (batch 256 -> num_envs/4 updates)."""
+    from deep_rl_grasping_tpu.training.trainer import Trainer
+    from deep_rl_grasping_tpu.utils import config as cfg_util
+
+    cfg = cfg_util.load_config(
+        os.path.join(os.path.dirname(__file__), "configs", "gripper_grasp.yaml")
+    )
+    cfg["tpu"]["num_envs"] = num_envs
+    cfg["tpu"]["updates_per_step"] = max(num_envs // 4, 1)
+    cfg.setdefault("SAC", {})["buffer_size"] = 200_000
+    trainer = Trainer(cfg, algo="SAC")
+    state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    state, _ = step(state)
+    state, _ = step(state)
+    jax.block_until_ready(state.obs)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state)
+    jax.block_until_ready(state.obs)
+    return iters * num_envs / (time.perf_counter() - t0)
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    collect = bench_collect(num_envs, iters)
+    train = bench_train(num_envs, max(iters // 2, 3))
     print(
         json.dumps(
             {
                 "metric": "env_steps_per_s",
-                "value": round(steps_per_s, 1),
+                "value": round(collect, 1),
                 "unit": "env steps/s (physics+render+policy, full depth task)",
-                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 1),
+                "vs_baseline": round(collect / BASELINE_STEPS_PER_S, 1),
+                "train_steps_per_s": round(train, 1),
+                "train_vs_baseline": round(train / BASELINE_STEPS_PER_S, 1),
+                "num_envs": num_envs,
             }
         )
     )

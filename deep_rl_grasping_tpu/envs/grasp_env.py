@@ -239,6 +239,11 @@ class GraspEnv:
     def observe(self, state: EnvState):
         """Assemble the observation (robot.py:183-205)."""
         rgb, depth, mask = self.render_raw(state)
+        return self.assemble_obs(state, rgb, depth, mask)
+
+    def assemble_obs(self, state: EnvState, rgb, depth, mask):
+        """Observation assembly given rendered images; rgb may be None for
+        depth/encoder modes (the fused Pallas raster renders depth+seg)."""
         if self.depth_obs or self.full_obs:
             pad = jnp.zeros((self.im_h, self.im_w), jnp.float32)
             if self.simplified:
@@ -420,7 +425,7 @@ class GraspEnv:
         return self._full_outcome_core(state, sim)
 
     def _finalize_step(self, state: EnvState, stepped: EnvState, reward,
-                       status, lam):
+                       status, lam, with_obs=True):
         """Time-limit, episode accounting, auto-reset, observation."""
         time_limit = (status == rew.RUNNING) & (
             stepped.episode_step >= self.time_horizon - 1
@@ -440,13 +445,15 @@ class GraspEnv:
         next_state = jax.tree.map(
             lambda a, b: jnp.where(_bcast(done, a), a, b), fresh, stepped
         )
-        obs = self.observe(next_state)
         info = {
             "is_success": status == rew.SUCCESS,
             "episode_step": ep_step,
             "episode_return": ep_return,
             "status": status,
         }
+        if not with_obs:
+            return next_state, reward, done, info
+        obs = self.observe(next_state)
         return next_state, obs, reward, done, info
 
     def step(self, state: EnvState, action, lam):
@@ -497,10 +504,32 @@ class BatchedGraspEnv:
 
     def reset(self, key, curriculum_state):
         keys = jax.random.split(key, self.num_envs)
-        states, obs = jax.vmap(
-            lambda k: self.env.reset(k, curriculum_state.lam)
+        states = jax.vmap(
+            lambda k: self.env.reset_env(
+                k, curriculum_state.lam, settle_substeps=48
+            )
         )(keys)
-        return states, obs
+        return states, self.observe_batch(states)
+
+    def observe_batch(self, states):
+        """Batched observation: fused Pallas depth+seg raster on TPU for
+        depth/encoder modes (render/raycast.py stays for RGB-D and CPU)."""
+        env = self.env
+        if not self.use_pallas or env.full_obs:
+            return jax.vmap(env.observe)(states)
+        from deep_rl_grasping_tpu.ops import raster_pallas
+        from deep_rl_grasping_tpu.render import raycast
+
+        cam_pos, cam_R = jax.vmap(raycast.camera_pose_from_gripper)(
+            states.sim.gripper.q, states.cam_t, states.cam_R
+        )
+        depth, seg = raster_pallas.render_batch_pallas(
+            states.sim, env.sim_params, cam_pos, cam_R, states.intrinsics,
+            H=env.im_h, W=env.im_w, near=env.near, far=env.far,
+        )
+        return jax.vmap(
+            lambda st, d, m: env.assemble_obs(st, None, d, m)
+        )(states, depth, seg)
 
     def _step_envs_pallas(self, states, actions, lam):
         """Batched control step with physics through the fused kernel:
@@ -532,9 +561,13 @@ class BatchedGraspEnv:
             stepped, reward, status = jax.vmap(env._full_outcome_core)(
                 states, sim
             )
-        return jax.vmap(
-            lambda st, sp, r, su: env._finalize_step(st, sp, r, su, lam)
+        next_states, rewards, dones, infos = jax.vmap(
+            lambda st, sp, r, su: env._finalize_step(
+                st, sp, r, su, lam, with_obs=False
+            )
         )(states, stepped, reward, status)
+        obs = self.observe_batch(next_states)
+        return next_states, obs, rewards, dones, infos
 
     def step(self, states, actions, curriculum_state):
         if self.use_pallas:

@@ -45,20 +45,27 @@ def _raster_kernel(
     plane_z, near, far, plane_seg_mode, tray_half,
 ):
     # ---- rays ---------------------------------------------------------
-    fx = intr_ref[0, 0]
-    fy = intr_ref[0, 1]
-    cx = intr_ref[0, 2]
-    cy = intr_ref[0, 3]
-    u = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5 - cx) / fx
-    v = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5 - cy) / fy
+    fx = intr_ref[0, 0, 0]
+    fy = intr_ref[0, 0, 1]
+    cx = intr_ref[0, 0, 2]
+    cy = intr_ref[0, 0, 3]
+    # iota must be integer-typed on TPU; cast after.
+    u = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+        + 0.5 - cx
+    ) / fx
+    v = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+        + 0.5 - cy
+    ) / fy
     R = cam_R_ref[0]  # (3,3) cam->world
     # world ray dirs; ray parameter t == camera-frame Z (z_cam=1 rays)
     dx = R[0, 0] * u + R[0, 1] * v + R[0, 2]
     dy = R[1, 0] * u + R[1, 1] * v + R[1, 2]
     dz = R[2, 0] * u + R[2, 1] * v + R[2, 2]
-    ox = cam_o_ref[0, 0]
-    oy = cam_o_ref[0, 1]
-    oz = cam_o_ref[0, 2]
+    ox = cam_o_ref[0, 0, 0]
+    oy = cam_o_ref[0, 0, 1]
+    oz = cam_o_ref[0, 0, 2]
 
     best_t = jnp.full((H, W), jnp.inf, jnp.float32)
     best_id = jnp.full((H, W), -1, jnp.int32)
@@ -81,12 +88,13 @@ def _raster_kernel(
     # ---- spheres (loop over primitive slots) ----------------------------
     a = dx * dx + dy * dy + dz * dz
 
-    def sphere_body(i, carry):
-        best_t, best_id = carry
+    # Static unroll over primitive slots: Mosaic cannot prove alignment of
+    # dynamic lane-indexed scalar loads, and P is small (K*S ~ 40).
+    for i in range(P):
         cxs = sph_c_ref[0, i, 0]
         cys = sph_c_ref[0, i, 1]
         czs = sph_c_ref[0, i, 2]
-        r = sph_r_ref[0, i]
+        r = sph_r_ref[0, 0, i]
         ocx = ox - cxs
         ocy = oy - cys
         ocz = oz - czs
@@ -97,12 +105,7 @@ def _raster_kernel(
         t = (-b - sq) / (2.0 * a)
         ok = (disc > 0) & (t > near) & (r > 0) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
-        best_id = jnp.where(ok, sph_id_ref[0, i], best_id)
-        return best_t, best_id
-
-    best_t, best_id = jax.lax.fori_loop(
-        0, P, sphere_body, (best_t, best_id)
-    )
+        best_id = jnp.where(ok, sph_id_ref[0, 0, i], best_id)
 
     # ---- gripper boxes (slab test, unrolled; shared rotation) -----------
     Rg = box_R_ref[0]  # (3,3) box-to-world
@@ -165,15 +168,18 @@ def raster_depth_seg(
         plane_seg_mode=plane_seg_mode, tray_half=tray_half,
     )
     grid = (B,)
+    # 2D per-env inputs carry a singleton middle axis: Mosaic requires the
+    # last two block dims to be tile-aligned OR equal to the full array
+    # dims, and a (1, P) block over (B, P) violates that for the batch dim.
     in_specs = [
         pl.BlockSpec((1, P, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, num_boxes, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
         pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -190,8 +196,9 @@ def raster_depth_seg(
         ),
         interpret=interpret,
     )(
-        sph_centers, sph_radii, sph_ids,
-        box_centers, box_R, cam_origin, cam_R, intrinsics,
+        sph_centers, sph_radii[:, None], sph_ids[:, None],
+        box_centers, box_R, cam_origin[:, None], cam_R,
+        intrinsics[:, None],
     )
     return depth, seg
 

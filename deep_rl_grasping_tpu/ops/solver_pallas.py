@@ -179,7 +179,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
         def one_substep(carry):
             (q, qd, pos, quat, V, W,
              lam_st, lam_pl, lam_pr, lam_oo,
-             no_st, no_pl, no_pr, no_oo, first) = carry
+             no_pl, no_pr, no_oo, first) = carry
             q = list(q)
             qd = list(qd)
 
@@ -622,7 +622,13 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 s = gate * sp["warm_start"] * act * cont
                 return (lam[0] * s, lam[1] * s, lam[2] * s)
 
-            lam_w = gated(lam_st, no_st, st_n, st_act)
+            # Statics normals are slot-constant (plane) or near-constant
+            # (tray walls), so their warm start skips the stored-normal
+            # continuity gate (saves 3 (NS,K,S,E) VMEM planes; physics.py
+            # gates against the previous normal, identical for the plane).
+            lam_w = tuple(
+                l * (gate * sp["warm_start"] * st_act) for l in lam_st
+            )
             t1s, t2s = _tangent_basis(st_n)
             Pw = _add(
                 _add(_scale(st_n, lam_w[0]), _scale(t1s, lam_w[1])),
@@ -742,14 +748,14 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             return (tuple(q), tuple(qd), pos, quat, V, W,
                     lam_st, lam_pl, lam_pr, lam_oo,
-                    st_n, pl_n, pr_n, oo_n, jnp.zeros_like(first))
+                    pl_n, pr_n, oo_n, jnp.zeros_like(first))
 
         zst = tuple(jnp.zeros((NS, K, S, E), jnp.float32) for _ in range(3))
         zpd = tuple(jnp.zeros((K, S, E), jnp.float32) for _ in range(3))
         zoo = tuple(jnp.zeros((NP, S, S, E), jnp.float32) for _ in range(3))
         carry = (
             q0, qd0, pos0, quat0, V0, W0,
-            zst, zpd, zpd, zoo, zst, zpd, zpd, zoo,
+            zst, zpd, zpd, zoo, zpd, zpd, zoo,
             jnp.ones((), jnp.float32),
         )
         carry = jax.lax.fori_loop(
@@ -800,7 +806,7 @@ def _scalar_params(params: SimParams) -> dict:
 
 def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
               centers, radii, inv_mass, inv_inertia,
-              params: SimParams, n_substeps: int, block_e: int = 64,
+              params: SimParams, n_substeps: int, block_e: int = 128,
               interpret: bool = False):
     """Run `n_substeps` fused solver substeps on a batch of envs.
 
@@ -859,6 +865,11 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
             jax.ShapeDtypeStruct(s[:-1] + (Bp,), jnp.float32)
             for s in out_shapes
         ),
+        # The object-pair planes put peak VMEM slightly above the default
+        # 16M scoped limit for tray scenes; v5e has headroom above that.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*inputs)
 
@@ -875,7 +886,7 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
 
 
 def run_batched_sim(states: SimState, params: SimParams, n_substeps: int,
-                    block_e: int = 64, interpret: bool = False) -> SimState:
+                    block_e: int = 128, interpret: bool = False) -> SimState:
     """Batched replacement for vmap(physics.run) over a leading env axis."""
     g = states.gripper
     o = states.objects
