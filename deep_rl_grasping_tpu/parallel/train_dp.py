@@ -62,7 +62,7 @@ def make_sharded_trainer(config, mesh: Mesh, run_one_step=False):
             mesh=mesh,
             in_specs=(P(AXIS),),
             out_specs=P(AXIS),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -79,7 +79,7 @@ def make_sharded_trainer(config, mesh: Mesh, run_one_step=False):
             mesh=mesh,
             in_specs=(P(AXIS),),
             out_specs=(P(AXIS), P()),
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=0,
     )
@@ -98,7 +98,8 @@ def make_sharded_trainer(config, mesh: Mesh, run_one_step=False):
                 mesh=mesh,
                 in_specs=(P(AXIS),),
                 out_specs=(P(AXIS), P()),
-                check_rep=False,
+                check_vma=False,
+
             ),
             donate_argnums=0,
         )
