@@ -56,6 +56,20 @@ class SAC:
         # (SAC_depth_1mbuffer/logs.csv: entropy stays ~+3.5 at alpha 8e-4).
         # Matching that exploration floor needs a higher target here.
         self.target_entropy = float(c.get("target_entropy", -float(action_dim)))
+        # Optional linear anneal of the target entropy over env frames:
+        # start wide (exploration the curriculum needs to cross its 0.7
+        # threshold) and finish narrow (precision the full-difficulty task
+        # needs). The trainer converts global_step to the current value and
+        # passes it to update(); None disables.
+        self.target_entropy_final = c.get("target_entropy_final")
+        self.target_entropy_anneal = float(c.get("target_entropy_anneal", 0) or 0)
+        # Divergence guard: clamp the Bellman target to the feasible return
+        # band (round-2 flagship collapse: q_target_mean drifted to -427
+        # while the max reward in the buffer was ~0 — a fixed point the
+        # clamp makes unreachable). Config SAC.q_clip: [lo, hi] in the
+        # learner's reward units (i.e. post reward_scale).
+        q_clip = c.get("q_clip")
+        self.q_clip = None if q_clip is None else (float(q_clip[0]), float(q_clip[1]))
         if image_obs is None:
             image_obs = len(obs_shape) == 3
         self.image_obs = image_obs
@@ -119,8 +133,13 @@ class SAC:
 
     # ------------------------------------------------------------------ update
 
-    def update(self, state: SACState, batch, key):
-        """One SAC gradient step on (obs, action, reward, next_obs, done)."""
+    def update(self, state: SACState, batch, key, target_entropy=None):
+        """One SAC gradient step on (obs, action, reward, next_obs, done).
+
+        `target_entropy` overrides the static target (the trainer passes the
+        annealed value computed from global env frames)."""
+        if target_entropy is None:
+            target_entropy = self.target_entropy
         k1, k2 = jax.random.split(key)
         alpha = jnp.exp(state.log_alpha)
 
@@ -133,6 +152,8 @@ class SAC:
         disc = batch.get("discount",
                          self.gamma * (1.0 - batch["done"].astype(jnp.float32)))
         target = batch["reward"] + disc * (q_next - alpha * next_logp)
+        if self.q_clip is not None:
+            target = jnp.clip(target, self.q_clip[0], self.q_clip[1])
         target = jax.lax.stop_gradient(target)
 
         def critic_loss_fn(params):
@@ -166,7 +187,7 @@ class SAC:
 
         def alpha_loss_fn(log_alpha):
             return -jnp.mean(
-                log_alpha * jax.lax.stop_gradient(logp + self.target_entropy)
+                log_alpha * jax.lax.stop_gradient(logp + target_entropy)
             )
 
         alpha_loss, alpha_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)

@@ -124,10 +124,15 @@ def update(spec: CurriculumSpec, state: CurriculumState, done_mask, success_mask
     # Ring slots for this batch's finished episodes, in-batch order.
     offset = jnp.cumsum(d32) - d32
     pos = (state.ptr + offset) % W
-    # Non-done lanes scatter out of range and are dropped.
-    pos = jnp.where(done, pos, W)
-    ring = state.ring.at[pos].set(succ, mode="drop")
     n_new = d32.sum()
+    # If more episodes finish in one update than the window holds (possible
+    # in the sharded path: all-gathered lanes can exceed W), duplicate
+    # scatter indices would resolve in unspecified order — keep only the
+    # LAST W done lanes so the ring still holds the most recent outcomes.
+    keep = done & (offset >= n_new - W)
+    # Non-kept lanes scatter out of range and are dropped.
+    pos = jnp.where(keep, pos, W)
+    ring = state.ring.at[pos].set(succ, mode="drop")
     ptr = (state.ptr + n_new) % W
     filled = jnp.minimum(state.filled + n_new, W)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from deep_rl_grasping_tpu.sim import physics
 from deep_rl_grasping_tpu.sim.types import PAD_CENTER_DEPTH, PAD_HALF_EXTENTS
 
 
@@ -55,21 +56,74 @@ def scripted_full_action(env, state, key, noise=0.1, p_random=0.1):
     low = g.q[2] < floor_q2 + 0.01
     closed = g.gripper_close
 
+    # Recover from spurious closes: a p_random action can command `close`
+    # mid-approach (a[4] < 0 half the time), latching an empty grip the
+    # old expert never released — it then "lifted" nothing until the time
+    # limit (measured: 78% success, 21% closed-but-empty episodes, 3x mean
+    # episode length). An empty closed gripper (width <= grasp-detection
+    # tolerance) is reopened so the approach resumes.
+    width = physics.gripper_width(g.q)
+    empty_closed = closed & (width <= 0.005)
+    holding = closed & ~empty_closed
+
     do_close = (~closed) & near_xy & low
-    oc = jnp.where(do_close, -1.0, 0.0)
-    dz = jnp.where(closed, -1.0, jnp.where(near_xy, 1.0, 0.0))
+    oc = jnp.where(do_close, -1.0, jnp.where(empty_closed, 1.0, 0.0))
+    dz = jnp.where(holding, -1.0, jnp.where(near_xy, 1.0, 0.0))
     dx = jnp.where(closed, 0.0, dx)
     dy = jnp.where(closed, 0.0, dy)
 
+    # Exploration must not sabotage the grasp itself: with unconditional
+    # noise + p_random the expert measured 85.7% at lambda=0 (13.5% of
+    # episodes closed off-center and never latched; random actions while
+    # holding can emit `open` and drop the object). Gating both on the
+    # engagement phase (centered-or-holding) restores the 99.7% noiseless
+    # ceiling while keeping approach-phase diversity for the replay
+    # (measured by scripts_dev/probe_expert_rate.py).
+    engaged = closed | near_xy
     k_n, k_r, k_p = jax.random.split(key, 3)
+    eff_noise = jnp.where(engaged, 0.0, noise)
     move = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)])
     move = jnp.clip(
-        move + noise * jax.random.normal(k_n, (4,)), -1.0, 1.0
+        move + eff_noise * jax.random.normal(k_n, (4,)), -1.0, 1.0
     )
     a = jnp.concatenate([move, oc[None]])
     rand_a = jax.random.uniform(k_r, (5,), minval=-1.0, maxval=1.0)
-    use_rand = jax.random.uniform(k_p, ()) < p_random
+    use_rand = (jax.random.uniform(k_p, ()) < p_random) & ~engaged
     return jnp.where(use_rand, rand_a, a)
+
+
+def scripted_branched_action(env, state, key, noise=0.1, p_random=0.1):
+    """Expert for BDQ's composite discrete actions: quantize the continuous
+    expert per branch into `num_actions_pad` bins (the same linear
+    discretization decode_branched_action inverts)."""
+    pads = env.actuator_spec.num_actions_pad
+    if env.simplified:
+        a = scripted_simplified_action(env, state, key, noise, p_random)
+    else:
+        a = scripted_full_action(env, state, key, noise, p_random)
+    bins = jnp.round((a + 1.0) / 2.0 * (pads - 1)).astype(jnp.int32)
+    return jnp.clip(bins, 0, pads - 1)
+
+
+def scripted_discrete_action(env, state, key, noise=0.1, p_random=0.1):
+    """Expert for flat discrete action spaces.
+
+    Simplified Discrete(3*pads): move the dominant branch one quantized
+    step. Full Discrete(11): dominant-axis row of the reference lookup
+    table (actuator.py:106-115; open=9, close=10)."""
+    pads = env.actuator_spec.num_actions_pad
+    if env.simplified:
+        a = scripted_simplified_action(env, state, key, noise, p_random)
+        branch = jnp.argmax(jnp.abs(a))
+        idx = jnp.round((a[branch] + 1.0) / 2.0 * (pads - 1)).astype(jnp.int32)
+        return branch.astype(jnp.int32) * pads + jnp.clip(idx, 0, pads - 1)
+    a = scripted_full_action(env, state, key, noise, p_random)
+    axis = jnp.argmax(jnp.abs(a[:4]))
+    # rows: +x=1,-x=2,+y=3,-y=4,+z=5,-z=6,+yaw=7,-yaw=8
+    move_row = 1 + 2 * axis + (a[axis] < 0).astype(jnp.int32)
+    toggle = jnp.abs(a[4]) > 0.5
+    toggle_row = jnp.where(a[4] > 0, 9, 10)
+    return jnp.where(toggle, toggle_row, move_row).astype(jnp.int32)
 
 
 def scripted_simplified_action(env, state, key, noise=0.15, p_random=0.1):

@@ -42,7 +42,7 @@ def _raster_kernel(
     cam_o_ref, cam_R_ref, intr_ref,
     depth_ref, seg_ref,
     *, H, W, P, num_boxes, box_he, box_ids,
-    plane_z, near, far, plane_seg_mode, tray_half,
+    plane_z, near, far, plane_seg_mode, tray_half, walls,
 ):
     # ---- rays ---------------------------------------------------------
     fx = intr_ref[0, 0, 0]
@@ -139,6 +139,26 @@ def _raster_kernel(
         best_t = jnp.where(ok, t, best_t)
         best_id = jnp.where(ok, box_ids[bi], best_id)
 
+    # ---- tray walls (axis-aligned slabs, static geometry; id 2 like the
+    # tray floor — mirrors render/raycast.py:192-209) --------------------
+    for (wcx, wcy, wcz, whx, why, whz) in walls:
+
+        def wslab(o1, d1, c1, he):
+            d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
+            ta = (-he - (o1 - c1)) / d_safe
+            tb = (he - (o1 - c1)) / d_safe
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        lo1, hi1 = wslab(ox, dx, wcx, whx)
+        lo2, hi2 = wslab(oy, dy, wcy, why)
+        lo3, hi3 = wslab(oz, dz, wcz, whz)
+        tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
+        tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
+        t = jnp.where(tmin > 0, tmin, tmax)
+        ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_id = jnp.where(ok, 2, best_id)
+
     depth_ref[0] = jnp.minimum(jnp.where(jnp.isfinite(best_t), best_t, far), far)
     seg_ref[0] = best_id
 
@@ -146,14 +166,15 @@ def _raster_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "plane_seg_mode", "plane_z", "near", "far",
-                     "tray_half", "gripper_id", "interpret"),
+                     "tray_half", "wall_height", "gripper_id", "interpret"),
 )
 def raster_depth_seg(
     sph_centers, sph_radii, sph_ids,
     box_centers, box_R,
     cam_origin, cam_R, intrinsics,
     *, H=64, W=64, plane_seg_mode="floor", plane_z=-0.196, near=0.02,
-    far=2.0, tray_half=0.21, gripper_id=6, interpret=False,
+    far=2.0, tray_half=0.21, wall_height=0.062, gripper_id=6,
+    interpret=False,
 ):
     """Batched fused render. sph_* leading dim B; see module docstring."""
     B, P, _ = sph_centers.shape
@@ -161,11 +182,25 @@ def raster_depth_seg(
     box_he = (PAD_HALF_EXTENTS, PAD_HALF_EXTENTS, BASE_HALF_EXTENTS)[:num_boxes]
     box_ids = tuple([gripper_id] * num_boxes)
 
+    # Tray wall OBBs are world-axis-aligned and static per scene type:
+    # (cx, cy, cz, hx, hy, hz), matching render/raycast.py:192-204.
+    if plane_seg_mode == "table":
+        th, wh = tray_half, wall_height
+        wz = plane_z + wh / 2
+        walls = (
+            (th + 0.02, 0.0, wz, 0.02, th + 0.04, wh / 2),
+            (-(th + 0.02), 0.0, wz, 0.02, th + 0.04, wh / 2),
+            (0.0, th + 0.02, wz, th + 0.04, 0.02, wh / 2),
+            (0.0, -(th + 0.02), wz, th + 0.04, 0.02, wh / 2),
+        )
+    else:
+        walls = ()
+
     kernel = functools.partial(
         _raster_kernel,
         H=H, W=W, P=P, num_boxes=num_boxes, box_he=box_he, box_ids=box_ids,
         plane_z=plane_z, near=near, far=far,
-        plane_seg_mode=plane_seg_mode, tray_half=tray_half,
+        plane_seg_mode=plane_seg_mode, tray_half=tray_half, walls=walls,
     )
     grid = (B,)
     # 2D per-env inputs carry a singleton middle axis: Mosaic requires the
@@ -233,6 +268,8 @@ def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,
         H=H, W=W,
         plane_seg_mode="table" if params.has_tray else "floor",
         plane_z=float(params.support_z), near=near, far=far,
-        tray_half=float(params.tray_half), gripper_id=int(gripper_id),
+        tray_half=float(params.tray_half),
+        wall_height=float(params.tray_wall_height),
+        gripper_id=int(gripper_id),
         interpret=interpret,
     )

@@ -104,6 +104,48 @@ def make_sharded_trainer(config, mesh: Mesh, run_one_step=False):
             donate_argnums=0,
         )
 
+    def _seed_local(state, n_frames_per_dev):
+        # Per-shard demo seeding: each device rolls its own envs with the
+        # scripted expert and fills its local replay shard; episode counts
+        # are psum'd for the host log. Mirrors Trainer.seed_demos exactly —
+        # same program, one copy per shard.
+        state = jax.tree.map(lambda x: x[0], state)
+        state, nd, ns = trainer.seed_demos(state, n_frames_per_dev)
+        nd = jax.lax.psum(nd, AXIS)
+        ns = jax.lax.psum(ns, AXIS)
+        state = jax.tree.map(lambda x: x[None], state)
+        return state, nd, ns
+
+    def seed_sharded(n_frames_total):
+        return jax.jit(
+            shard_map(
+                functools.partial(
+                    _seed_local,
+                    n_frames_per_dev=max(n_frames_total // n_dev, 1),
+                ),
+                mesh=mesh,
+                in_specs=(P(AXIS),),
+                out_specs=(P(AXIS), P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+
+    def replicate_tree(tree):
+        """Host pytree (no device axis) -> replicated sharded view (leading
+        device axis, one identical copy per shard) for warm starts."""
+        import numpy as np
+
+        def rep(x):
+            x = np.asarray(x)
+            arr = np.broadcast_to(x[None], (n_dev,) + x.shape)
+            return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
+
+        return jax.tree.map(rep, tree)
+
+    trainer.seed_sharded = seed_sharded
+    trainer.replicate_tree = replicate_tree
+
     if run_one_step:
         keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
         keys = jax.device_put(keys, NamedSharding(mesh, P(AXIS)))

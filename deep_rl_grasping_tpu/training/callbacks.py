@@ -35,7 +35,10 @@ except Exception:  # pragma: no cover - native lib not built
 
 
 class MonitorLogger:
-    """Aggregate episode stats CSV, one row per flush."""
+    """Episode stats CSV in the reference Monitor format: one row PER
+    EPISODE (r, l, t, s — the fork's success column included), drained from
+    the device-side episode ring each host iteration. `log` remains for
+    aggregate rows (single-row-per-flush callers)."""
 
     def __init__(self, model_dir, filename="log_file.monitor.csv"):
         os.makedirs(model_dir, exist_ok=True)
@@ -62,6 +65,21 @@ class MonitorLogger:
             self._csv.writerow(
                 [f"{mean_return:.2f}", f"{mean_length:.1f}", f"{t:.1f}", f"{success_rate:.4f}"]
             )
+            self._file.flush()
+
+    def log_episodes(self, rows):
+        """Write one CSV row per episode. rows: (N, 3) array-like of
+        (return, length, success)."""
+        t = time.time() - self._t0
+        lines = "".join(
+            f"{r:.2f},{l:.0f},{t:.1f},{s:.0f}\n" for r, l, s in rows
+        )
+        if not lines:
+            return
+        if self._writer is not None:
+            self._writer.write(lines)
+        else:
+            self._file.write(lines)
             self._file.flush()
 
     def close(self):
@@ -136,19 +154,39 @@ def _raw_lookup(raw, path):
 
 
 def _graft_raw(raw, template):
+    """Graft a raw orbax restore onto `template` by key path.
+
+    Paths missing from the checkpoint, or whose stored leaf has a different
+    shape than the template (e.g. an obs ring from an older layout), keep
+    the template default — and every such fallback is logged so a partially
+    initialized restore is loud, not silent."""
+    import logging
+
     import jax
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
+    fell_back = []
     for path, leaf in leaves:
         try:
             val = _raw_lookup(raw, path)
             if hasattr(leaf, "dtype"):
                 val = jnp.asarray(val, dtype=leaf.dtype)
+            if hasattr(leaf, "shape") and hasattr(val, "shape") \
+                    and tuple(val.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape {tuple(val.shape)} != template {tuple(leaf.shape)}"
+                )
             out.append(val)
-        except (KeyError, IndexError, TypeError):
+        except (KeyError, IndexError, TypeError, ValueError) as e:
+            fell_back.append(f"{jax.tree_util.keystr(path)}: {e}")
             out.append(leaf)
+    if fell_back:
+        logging.warning(
+            "checkpoint graft kept template defaults for %d path(s):\n  %s",
+            len(fell_back), "\n  ".join(fell_back),
+        )
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
@@ -191,12 +229,17 @@ class Checkpointer:
         step = self._mgr.latest_step() if step is None else int(step)
         try:
             return self._mgr.restore(step, args=ocp.args.StandardRestore(tree))
-        except Exception:
+        except (ValueError, KeyError, TypeError) as e:
             # Structure-evolution fallback: checkpoints written by older
             # code (e.g. a different CurriculumState layout) fail the exact
             # StandardRestore match. Restore the raw nested-dict tree and
             # graft values onto the template by key path, keeping template
-            # defaults for paths the checkpoint doesn't have.
+            # defaults for paths the checkpoint doesn't have (each kept
+            # default is logged by _graft_raw). IO/corruption errors are
+            # NOT caught — a truly unreadable checkpoint must fail loudly.
+            import logging
+
+            logging.warning("StandardRestore failed (%s); grafting raw restore", e)
             raw = self._mgr.restore(step)
             return _graft_raw(raw, tree)
 

@@ -32,6 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compilation cache: the fused env-step program costs minutes
+# to compile (remote TPU or CPU); warm restarts of the same config are
+# near-instant. Override location with JAX_CACHE_DIR.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_grasp_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from deep_rl_grasping_tpu.training import callbacks as cb
 from deep_rl_grasping_tpu.utils import config as cfg_util
 from deep_rl_grasping_tpu.utils import io_utils
@@ -100,8 +109,11 @@ def train(args):
         keys = jax.random.split(jax.random.PRNGKey(args.seed), n_dev)
         keys = jax.device_put(keys, NamedSharding(mesh, P("env")))
         state = init_sharded(keys)
-        step_fn = step_sharded
-        frames_per_chunk = trainer.num_envs * n_dev
+        if chunk_steps > 1:
+            step_fn = chunk_sharded(chunk_steps)
+        else:
+            step_fn = step_sharded
+        frames_per_chunk = chunk_steps * trainer.num_envs * n_dev
 
         def _scalar_sum(x):
             return float(jnp.sum(x))
@@ -130,41 +142,57 @@ def train(args):
         step_fn = jax.jit(trainer.train_iteration, donate_argnums=0)
         frames_per_chunk = trainer.algo.n_steps * trainer.num_envs
 
-    # Warm start (sb_helper load_parameters equivalent,
-    # sb_helper.py:97-115): restore learner params from a previous run.
-    if getattr(args, "load_dir", None) and sharded:
-        raise NotImplementedError(
-            "warm start into the sharded trainer is not wired yet; "
-            "restore through the unsharded path"
-        )
-    if getattr(args, "load_dir", None):
-        prev = cb.Checkpointer(args.load_dir)
-        bundle = prev.restore(_bundle(state))
-        state = state.replace(
-            algo_state=bundle["algo_state"],
-            normalizer=state.normalizer.replace(
-                obs_rms=bundle["obs_rms"], ret_rms=bundle["ret_rms"]
-            ),
-        )
-        logging.info("warm-started learner from %s", args.load_dir)
-
-    # Demonstration seeding (config tpu.demo_frames): scripted-expert
-    # frames fill the replay before learning starts (see Trainer.seed_demos).
-    demo_frames = int(config.get("tpu", {}).get("demo_frames", 0))
-    if (demo_frames > 0 and algo in OFF_POLICY and not sharded
-            and not getattr(args, "load_dir", None)):
-        seed_fn = jax.jit(
-            lambda s: trainer.seed_demos(s, demo_frames), donate_argnums=0
-        )
-        state, n_done, n_succ = seed_fn(state)
-        logging.info(
-            "seeded %d demo frames: %d episodes, %.1f%% success",
-            demo_frames, int(n_done), 100.0 * float(n_succ) / max(float(n_done), 1.0),
-        )
-
     if not sharded:
         def _first(tree):
             return tree
+
+    # Warm start (sb_helper load_parameters equivalent,
+    # sb_helper.py:97-115): restore learner params from a previous run.
+    # Checkpoints store shard-0's replicated view (no device axis), so they
+    # are portable between the sharded and unsharded trainers and across
+    # device counts.
+    if getattr(args, "load_dir", None):
+        prev = cb.Checkpointer(args.load_dir)
+        bundle = prev.restore(_bundle(_first(state)))
+        if sharded:
+            rep = trainer.replicate_tree(
+                {"algo_state": bundle["algo_state"],
+                 "obs_rms": bundle["obs_rms"], "ret_rms": bundle["ret_rms"]}
+            )
+            state = state.replace(
+                algo_state=rep["algo_state"],
+                normalizer=state.normalizer.replace(
+                    obs_rms=rep["obs_rms"], ret_rms=rep["ret_rms"]
+                ),
+            )
+        else:
+            state = state.replace(
+                algo_state=bundle["algo_state"],
+                normalizer=state.normalizer.replace(
+                    obs_rms=bundle["obs_rms"], ret_rms=bundle["ret_rms"]
+                ),
+            )
+        logging.info("warm-started learner from %s", args.load_dir)
+
+    # Demonstration seeding (config tpu.demo_frames): scripted-expert
+    # frames fill the replay before learning starts (see Trainer.seed_demos;
+    # sharded: one expert rollout per shard filling the local replay).
+    demo_frames = int(config.get("tpu", {}).get("demo_frames", 0))
+    if (demo_frames > 0 and algo in OFF_POLICY
+            and not getattr(args, "load_dir", None)):
+        if sharded:
+            seed_fn = trainer.seed_sharded(demo_frames)
+        else:
+            seed_fn = jax.jit(
+                lambda s: trainer.seed_demos(s, demo_frames), donate_argnums=0
+            )
+        state, n_done, n_succ = seed_fn(state)
+        n_done = float(np.ravel(np.asarray(n_done))[0])
+        n_succ = float(np.ravel(np.asarray(n_succ))[0])
+        logging.info(
+            "seeded %d demo frames: %d episodes, %.1f%% success",
+            demo_frames, int(n_done), 100.0 * n_succ / max(n_done, 1.0),
+        )
 
     monitor = cb.MonitorLogger(model_dir)
     scalars = cb.ScalarLogger(model_dir)
@@ -181,30 +209,58 @@ def train(args):
     ckpt = cb.Checkpointer(model_dir)
     timer = cb.TrainingTimer()
 
+    # Divergence tripwire (round-2 flagship collapse: q_target_mean drifted
+    # to -427 with reward_max ~0 and nothing intervened for 900k frames).
+    # Band defaults to 2% inside SAC.q_clip when that's configured; a
+    # q_target_mean pinned at the clamp boundary means the critic is
+    # saturating against the guard -> roll back to the last checkpoint.
+    q_band = config.get("tpu", {}).get("q_tripwire")
+    if q_band is None and algo == "SAC":
+        qc = config.get("SAC", {}).get("q_clip")
+        if qc:
+            margin = 0.02 * (float(qc[1]) - float(qc[0]))
+            q_band = [float(qc[0]) + margin, float(qc[1]) - margin]
+    last_rollback = -10**9
+
+    # Periodic demo re-seeding: the initial demo_frames wash out of the
+    # ring once frames > buffer_size; a refresh keeps a protected fraction
+    # of expert successes present, sampled at the CURRENT curriculum
+    # difficulty (seed_demos steps at state.curriculum's lambda and
+    # discards the curriculum update, so demo successes never advance it).
+    demo_refresh_every = int(config.get("tpu", {}).get("demo_refresh_every", 0))
+    demo_refresh_frames = int(config.get("tpu", {}).get("demo_refresh_frames", 0))
+    refresh_fn = None
+    last_demo = 0
+
     logging.info("training %s for %d frames (%d envs)", algo, total_timesteps,
                  trainer.num_envs)
     frames = 0
     last_eval = 0
     last_ckpt = 0
-    prev_counts = (0, 0.0, 0.0, 0.0)
+    ring_drained = None  # per-shard episode counters already written
     try:
         while frames < total_timesteps:
             state, metrics = step_fn(state)
             frames = int(np.sum(np.asarray(state.global_step)))
             timer.tick(frames_per_chunk)
 
-            ep = int(np.sum(np.asarray(state.ep_count)))
-            rs = float(np.sum(np.asarray(state.ep_return_sum)))
-            ss = float(np.sum(np.asarray(state.ep_success_sum)))
-            ls = float(np.sum(np.asarray(getattr(state, "ep_len_sum", jnp.asarray(0.0)))))
-            d_ep = ep - prev_counts[0]
-            if d_ep > 0:
-                monitor.log(
-                    (rs - prev_counts[1]) / d_ep,
-                    (ls - prev_counts[3]) / d_ep if ls else 0.0,
-                    (ss - prev_counts[2]) / d_ep,
-                )
-                prev_counts = (ep, rs, ss, ls)
+            # Drain the per-episode monitor ring (one CSV row per episode,
+            # reference Monitor format). Sharded states carry one ring per
+            # shard (leading device axis).
+            ring = np.asarray(state.ep_ring)
+            ring_n = np.asarray(state.ep_ring_n).reshape(-1)
+            if ring.ndim == 2:
+                ring = ring[None]
+            if ring_drained is None:
+                ring_drained = [0] * ring.shape[0]
+            R = ring.shape[1]
+            for d in range(ring.shape[0]):
+                n = int(ring_n[d])
+                new = min(n - ring_drained[d], R)
+                if new > 0:
+                    idx = np.arange(n - new, n) % R
+                    monitor.log_episodes(ring[d][idx])
+                ring_drained[d] = n
             # curriculum state is replicated across shards; take shard 0
             sr = float(np.ravel(np.asarray(state.curriculum.sr_mean))[0])
             lam = float(np.ravel(np.asarray(state.curriculum.lam))[0])
@@ -223,6 +279,40 @@ def train(args):
                 "frames %d  sr %.3f  lambda %.2f  %.0f steps/s",
                 frames, sr, lam, timer.steps_per_s,
             )
+
+            if (q_band and not sharded and "q_target_mean" in row
+                    and last_ckpt > 0 and frames - last_rollback > checkpoint_freq):
+                qm = row["q_target_mean"]
+                if not (q_band[0] <= qm <= q_band[1]):
+                    logging.warning(
+                        "TRIPWIRE: q_target_mean %.3f outside feasible band "
+                        "[%.3f, %.3f] at %d frames — rolling learner back to "
+                        "checkpoint %s", qm, q_band[0], q_band[1], frames,
+                        ckpt.latest_step(),
+                    )
+                    bundle = ckpt.restore(_bundle(state))
+                    state = state.replace(algo_state=bundle["algo_state"])
+                    last_rollback = frames
+
+            if (demo_refresh_every and demo_refresh_frames
+                    and frames - last_demo >= demo_refresh_every):
+                if refresh_fn is None:
+                    if sharded:
+                        refresh_fn = trainer.seed_sharded(demo_refresh_frames)
+                    else:
+                        refresh_fn = jax.jit(
+                            lambda s: trainer.seed_demos(s, demo_refresh_frames),
+                            donate_argnums=0,
+                        )
+                state, n_done, n_succ = refresh_fn(state)
+                n_done = float(np.ravel(np.asarray(n_done))[0])
+                n_succ = float(np.ravel(np.asarray(n_succ))[0])
+                logging.info(
+                    "refreshed %d demo frames at lambda %.2f: %d episodes, "
+                    "%.1f%% success", demo_refresh_frames, lam, int(n_done),
+                    100.0 * n_succ / max(n_done, 1.0),
+                )
+                last_demo = frames
 
             ck_state = _first(state) if sharded else state
             if frames - last_ckpt >= checkpoint_freq:

@@ -35,6 +35,13 @@ from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
 from deep_rl_grasping_tpu.utils import config as cfg_util
 
 
+# Episode-outcome ring carried in LoopState: the host drains it each
+# iteration to write ONE monitor row PER EPISODE (the reference's Monitor
+# CSV format), instead of aggregate-per-flush rows that hide the episode
+# distribution. Sized for the largest episode burst between host drains.
+MONITOR_RING = 4096
+
+
 @struct.dataclass
 class LoopState:
     env_states: object
@@ -49,6 +56,8 @@ class LoopState:
     ep_return_sum: jnp.ndarray
     ep_success_sum: jnp.ndarray
     ep_len_sum: jnp.ndarray
+    ep_ring: jnp.ndarray      # (MONITOR_RING, 3) per-episode (r, l, s)
+    ep_ring_n: jnp.ndarray    # () int32 episodes ever written
 
 
 def _maybe_load_encoder(config):
@@ -83,7 +92,17 @@ def make_algo(config, env: GraspEnv, algo_name, pmean_axis=None):
     if algo_name == "BDQ":
         env.branched_actions = True
         num_branches = 3 if env.simplified else 5
-        return BDQ(obs_shape, num_branches, config, pmean_axis=pmean_axis)
+        algo = BDQ(obs_shape, num_branches, config, pmean_axis=pmean_axis)
+        # The env's branched decode must use the BDQ block's pad count, not
+        # robot.num_actions_pad — the reference's BDQ_8pads config has
+        # robot:num_actions_pad 4 but BDQ:num_actions_pad 8, and the bdq_sb
+        # fork discretized from its own hyperparameter.
+        import dataclasses
+
+        env.actuator_spec = dataclasses.replace(
+            env.actuator_spec, num_actions_pad=algo.num_actions_pad
+        )
+        return algo
     if algo_name == "DDPG":
         return DDPG(obs_shape, env.action_dim, config, pmean_axis=pmean_axis)
     raise ValueError(f"unknown off-policy algo {algo_name}")
@@ -94,7 +113,16 @@ class EvalMixin:
     base_callbacks.py:16-117 + utils.py:10-44): episodes on the validation
     or test env at lambda=1 with the fixed eval seed (simulation.py:91-100).
     `stochastic` mirrors run_agent's flag (train_stable_baselines.py:97-107):
-    sample from the policy instead of taking its mode/argmax."""
+    sample from the policy instead of taking its mode/argmax.
+
+    Protocol vs the reference: the reference runs 100 *sequential* episodes
+    drawing objects from one fixed RandomState(1) stream; here `n_episodes`
+    envs run in parallel, each episode seeded from the same fixed
+    PRNGKey(1) — so the object/scene sequence is identical across every
+    eval during and after training (comparable eval curves), while the
+    ACTION key varies per call (matters only for stochastic evals). The
+    step loop early-exits once every env has finished its first episode
+    instead of scanning the full time horizon."""
 
     def evaluate(self, algo_state, normalizer, n_episodes=10, key=None,
                  validate=True, stochastic=False):
@@ -102,21 +130,29 @@ class EvalMixin:
         if not hasattr(self, "_eval_cache"):
             self._eval_cache = {}
         if cache_key in self._eval_cache:
-            run, key_default = self._eval_cache[cache_key]
-            return run(algo_state, normalizer, key_default if key is None else key)
+            run, n_calls = self._eval_cache[cache_key]
+            self._eval_cache[cache_key] = (run, n_calls + 1)
+            return run(algo_state, normalizer,
+                       jax.random.PRNGKey(n_calls) if key is None else key)
         eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
                             encoder_fn=self.env.encoder_fn)
         eval_env.branched_actions = self.env.branched_actions
         benv = BatchedGraspEnv(eval_env, n_episodes)
         curriculum = benv.init_curriculum()
-        key = jax.random.PRNGKey(1) if key is None else key
+        key = jax.random.PRNGKey(0) if key is None else key
+        # Fixed scene sequence (simulation.py:91-100 RandomState(1)).
+        scene_key = jax.random.PRNGKey(1)
 
         def run(algo_state, normalizer, key):
-            states, obs = benv.reset(key, curriculum)
+            states, obs = benv.reset(scene_key, curriculum)
             B = n_episodes
 
-            def body(carry, i):
-                states, obs, cur, done_once, ret, length, succ, k = carry
+            def cond(carry):
+                _, _, _, done_once, _, _, _, _, t = carry
+                return (~jnp.all(done_once)) & (t < eval_env.time_horizon)
+
+            def body(carry):
+                states, obs, cur, done_once, ret, length, succ, k, t = carry
                 k, ka = jax.random.split(k)
                 obs_in = (
                     norm_mod.normalize_obs(normalizer, obs)
@@ -134,15 +170,16 @@ class EvalMixin:
                 length = jnp.where(first_done, infos["episode_step"], length)
                 succ = jnp.where(first_done, infos["is_success"], succ)
                 done_once = done_once | dones
-                return (states, obs, cur, done_once, ret, length, succ, k), None
+                return (states, obs, cur, done_once, ret, length, succ, k,
+                        t + 1)
 
             init = (
                 states, obs, curriculum,
                 jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
-                jnp.zeros(B, bool), key,
+                jnp.zeros(B, bool), key, jnp.asarray(0, jnp.int32),
             )
-            (states, obs, cur, done_once, ret, length, succ, _), _ = jax.lax.scan(
-                body, init, None, length=eval_env.time_horizon
+            (states, obs, cur, done_once, ret, length, succ, _, _) = (
+                jax.lax.while_loop(cond, body, init)
             )
             return dict(
                 mean_return=jnp.where(done_once, ret, 0.0).sum()
@@ -155,7 +192,7 @@ class EvalMixin:
             )
 
         run_jit = jax.jit(run)
-        self._eval_cache[cache_key] = (run_jit, jax.random.PRNGKey(1))
+        self._eval_cache[cache_key] = (run_jit, 1)
         return run_jit(algo_state, normalizer, key)
 
 
@@ -171,6 +208,15 @@ class Trainer(EvalMixin):
         self.benv = BatchedGraspEnv(self.env, self.num_envs, pmean_axis=pmean_axis)
         self.algo = make_algo(self.config, self.env, self.algo_name, pmean_axis)
         self.normalize = bool(self.config.get("normalize", False))
+        # Fixed reward scaling (config `reward_scale`): the learner sees
+        # reward * scale instead of VecNormalize's return-variance division.
+        # On the full task the running sigma is dominated by the -200/step
+        # penalty returns (|ret| ~ 3e4), so normalize_reward's /sigma + clip
+        # provably erased the +10000 terminal by 400k frames (round-2
+        # flagship collapse); a fixed scale keeps the terminal/penalty ratio
+        # intact at a critic-friendly magnitude. Overrides reward
+        # normalization when set; obs normalization is unaffected.
+        self.reward_scale = float(self.config.get("reward_scale", 0) or 0)
         tpu_cfg = self.config["tpu"]
         self.updates_per_step = int(tpu_cfg.get("updates_per_step", 1))
         algo_cfg = self.config.get(self.algo_name, {})
@@ -222,6 +268,8 @@ class Trainer(EvalMixin):
             ep_return_sum=jnp.asarray(0.0, jnp.float32),
             ep_success_sum=jnp.asarray(0.0, jnp.float32),
             ep_len_sum=jnp.asarray(0.0, jnp.float32),
+            ep_ring=jnp.zeros((MONITOR_RING, 3), jnp.float32),
+            ep_ring_n=jnp.asarray(0, jnp.int32),
         )
 
     # ------------------------------------------------------------------ demos
@@ -239,13 +287,14 @@ class Trainer(EvalMixin):
         """
         from deep_rl_grasping_tpu.envs import scripted
 
-        if self.env.discrete:
-            raise ValueError("demo seeding supports continuous tasks only")
-        expert = (
-            scripted.scripted_simplified_action
-            if self.env.simplified
-            else scripted.scripted_full_action
-        )
+        if self.algo_name == "BDQ":
+            expert = scripted.scripted_branched_action
+        elif self.env.discrete:
+            expert = scripted.scripted_discrete_action
+        elif self.env.simplified:
+            expert = scripted.scripted_simplified_action
+        else:
+            expert = scripted.scripted_full_action
         steps = max(n_frames // self.num_envs, 1)
 
         def body(carry, _):
@@ -288,14 +337,41 @@ class Trainer(EvalMixin):
             return algo_state.actor_params
         return algo_state.params
 
-    def _act(self, algo_state, obs, key, deterministic=False):
+    def _act(self, algo_state, obs, key, deterministic=False, frames=None):
         params = self._policy_params(algo_state)
         if self.algo_name in ("SAC", "DDPG"):
             return self.algo.act(params, obs, key, deterministic)
+        # epsilon anneals over ENV FRAMES (exploration_fraction *
+        # total_timesteps is a frame count in the reference, bdq config
+        # block): use the loop's global_step, not the gradient-step counter
+        # (updates_per_step decouples the two by up to 128x).
+        eps_step = algo_state.step if frames is None else frames
         eps = jnp.where(
-            deterministic, 0.0, self.algo.epsilon(algo_state.step)
+            deterministic, 0.0, self.algo.epsilon(eps_step)
         )
         return self.algo.act(params, obs, key, eps)
+
+    def _target_entropy_at(self, frames):
+        """Annealed SAC target entropy at `frames` env frames (None when
+        the anneal is not configured — static target applies)."""
+        a = self.algo
+        if (self.algo_name != "SAC" or a.target_entropy_final is None
+                or a.target_entropy_anneal <= 0):
+            return None
+        frac = jnp.clip(
+            frames.astype(jnp.float32) / a.target_entropy_anneal, 0.0, 1.0
+        )
+        return a.target_entropy + frac * (
+            float(a.target_entropy_final) - a.target_entropy
+        )
+
+    def _scale_batch_reward(self, batch, normalizer):
+        """Learner-side reward transform (see reward_scale above)."""
+        if self.reward_scale:
+            batch["reward"] = batch["reward"] * self.reward_scale
+        elif self.normalize:
+            batch["reward"] = norm_mod.normalize_reward(normalizer, batch["reward"])
+        return batch
 
     def train_step(self, state: LoopState) -> tuple:
         """One collect+update iteration (jit/scan-able)."""
@@ -304,7 +380,9 @@ class Trainer(EvalMixin):
             obs_in = norm_mod.normalize_obs(state.normalizer, state.obs)
         else:
             obs_in = state.obs
-        actions = self._act(state.algo_state, obs_in, k_act)
+        actions = self._act(state.algo_state, obs_in, k_act,
+                            frames=state.global_step)
+        target_entropy = self._target_entropy_at(state.global_step)
         env_states, next_obs, rewards, dones, infos, curriculum = self.benv.step(
             state.env_states, actions, state.curriculum
         )
@@ -333,8 +411,13 @@ class Trainer(EvalMixin):
             if self.normalize:
                 batch["obs"] = norm_mod.normalize_obs(normalizer, batch["obs"])
                 batch["next_obs"] = norm_mod.normalize_obs(normalizer, batch["next_obs"])
-                batch["reward"] = norm_mod.normalize_reward(normalizer, batch["reward"])
-            new_algo_state, metrics, td_abs = self.algo.update(algo_state, batch, ku)
+            batch = self._scale_batch_reward(batch, normalizer)
+            if target_entropy is not None:
+                new_algo_state, metrics, td_abs = self.algo.update(
+                    algo_state, batch, ku, target_entropy=target_entropy
+                )
+            else:
+                new_algo_state, metrics, td_abs = self.algo.update(algo_state, batch, ku)
             if self.prioritized:
                 buffer = replay_mod.update_priorities(buffer, batch["idx"], td_abs)
             # Freeze updates until the buffer has warmed up.
@@ -369,6 +452,21 @@ class Trainer(EvalMixin):
             )
         metrics = jax.tree.map(lambda m: m[-1], metrics)
 
+        # Per-episode monitor ring: scatter this step's finished episodes
+        # (same last-W-kept scheme as the curriculum window).
+        R = MONITOR_RING
+        d32 = dones.astype(jnp.int32)
+        offset = jnp.cumsum(d32) - d32
+        n_new = d32.sum()
+        pos = (state.ep_ring_n + offset) % R
+        pos = jnp.where(dones & (offset >= n_new - R), pos, R)
+        rows = jnp.stack(
+            [infos["episode_return"],
+             infos["episode_step"].astype(jnp.float32),
+             infos["is_success"].astype(jnp.float32)], -1,
+        )
+        ep_ring = state.ep_ring.at[pos].set(rows, mode="drop")
+
         new_state = LoopState(
             env_states=env_states,
             obs=next_obs,
@@ -385,6 +483,8 @@ class Trainer(EvalMixin):
             + (dones & infos["is_success"]).sum(dtype=jnp.float32),
             ep_len_sum=state.ep_len_sum
             + jnp.where(dones, infos["episode_step"], 0).sum().astype(jnp.float32),
+            ep_ring=ep_ring,
+            ep_ring_n=state.ep_ring_n + n_new,
         )
         return new_state, metrics
 

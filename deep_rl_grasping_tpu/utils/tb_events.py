@@ -130,6 +130,10 @@ class TensorBoardWriter:
 
     def add_scalars(self, step: int, scalars: dict):
         self._file.write(frame_record(encode_event(step=step, scalars=scalars)))
+        # Flush per call: records are tens of bytes at chunk cadence, and an
+        # unflushed writer loses the whole run's curves on any non-clean exit
+        # (the CSV sinks flush per row; the TB file must not be the lossy one).
+        self._file.flush()
 
     def flush(self):
         self._file.flush()

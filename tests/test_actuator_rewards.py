@@ -229,3 +229,27 @@ class TestCurriculum:
     def test_eval_forces_lambda_one(self):
         state = curr.CurriculumState.init(self.SPEC, evaluate=True)
         assert float(state.lam) == 1.0
+
+
+def test_curriculum_ring_overflow_keeps_last_window():
+    """More episodes finishing in one update than window_size (possible with
+    all-gathered sharded lanes): only the LAST W outcomes must land in the
+    ring, not an unspecified-order overwrite."""
+    spec = curr.CurriculumSpec(
+        n_steps=4, success_threshold=0.7, window_size=8, init_lambda=0.0,
+        extent=(0.01, 0.1), robot_height=(0.15, 0.25),
+        max_objects=(3, 5), min_objects=(1, 1), lift_dist=(0.01, 0.1),
+    )
+    state = curr.CurriculumState.init(spec)
+    # 12 episodes finish at once: first 4 successes, last 8 failures.
+    done = jnp.ones((12,), bool)
+    succ = jnp.asarray([True] * 4 + [False] * 8)
+    state = curr.update(spec, state, done, succ)
+    # Ring (size 8) must hold exactly the last 8 outcomes: all failures.
+    assert float(state.ring.sum()) == 0.0
+    assert int(state.filled) == 8
+    # Inverse case: last 8 are successes -> rate 1.0, lambda advances.
+    state2 = curr.CurriculumState.init(spec)
+    succ2 = jnp.asarray([False] * 4 + [True] * 8)
+    state2 = curr.update(spec, state2, done, succ2)
+    assert float(state2.lam) > 0.0

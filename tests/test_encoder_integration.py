@@ -2,6 +2,7 @@
 error, and a trained encoder plugs into the env's observation path
 (EncodedDepthImgSensor equivalent, sensor.py:206-230)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,9 @@ import numpy as np
 from deep_rl_grasping_tpu.models import autoencoder as ae
 from deep_rl_grasping_tpu.envs.grasp_env import GraspEnv
 from deep_rl_grasping_tpu.utils import config as cfg_util
+
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
 
 
 def test_ae_shapes_and_training_step():

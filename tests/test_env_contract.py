@@ -19,6 +19,8 @@ from deep_rl_grasping_tpu.envs.gym_adapter import (
     GymGraspEnv,
 )
 
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
 CONFIGS = {
     "continuous": "tests/configs/test_continuous.yaml",
     "discrete": "tests/configs/test_discrete.yaml",

@@ -11,6 +11,9 @@ from deep_rl_grasping_tpu.sim import objects, scene
 from deep_rl_grasping_tpu.sim.types import ObjectState, SimState, make_sim_params
 from deep_rl_grasping_tpu.utils import transforms
 
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
+
 INTR = jnp.array([69.76, 77.25, 32.19, 32.0])
 
 
@@ -58,3 +61,40 @@ def test_pallas_matches_xla_renderer(scene_type):
     assert agree > 0.995, f"depth mismatch fraction {1-agree:.4f}"
     seg_agree = np.mean(seg_p == seg_r)
     assert seg_agree > 0.995, f"seg mismatch fraction {1-seg_agree:.4f}"
+
+
+def test_pallas_renders_tray_walls():
+    """A sideways camera that sees a tray wall must agree with the XLA
+    renderer ON THE WALL PIXELS specifically (round-2 gap: the kernel
+    omitted walls and the 99.5% whole-image threshold hid it)."""
+    lib = objects.get_library(8)
+    params = make_sim_params(lib, scene_type="OnTable")
+    B = 2
+    states = _batch_states(params, B, jax.random.PRNGKey(3))
+    # Camera at tray center height looking along +x toward a wall.
+    cam_pos = jnp.tile(jnp.array([0.0, 0.0, params.support_z + 0.03]), (B, 1))
+    # cam->world columns: camera +x = world -y, camera +y = world -z
+    # (image down), camera +z (view dir) = world +x.
+    cam_R = jnp.stack([jnp.array([[0.0, 0.0, 1.0],
+                                  [-1.0, 0.0, 0.0],
+                                  [0.0, -1.0, 0.0]]).T] * B)
+    intr = jnp.tile(INTR, (B, 1))
+
+    depth_p, seg_p = render_batch_pallas(
+        states, params, cam_pos, cam_R, intr, interpret=True
+    )
+    _, depth_r, seg_r = jax.vmap(
+        lambda s, cp, cr, it: raycast.render(s, params, cp, cr, it, 64, 64)
+    )(states, cam_pos, cam_R, intr)
+
+    seg_p, seg_r = np.asarray(seg_p), np.asarray(seg_r)
+    depth_p, depth_r = np.asarray(depth_p), np.asarray(depth_r)
+    # The reference image must contain wall pixels: id 2 at a depth beyond
+    # near but well before the far plane, above the tray floor plane.
+    wall_px = (seg_r == 2) & (np.asarray(depth_r) < 0.5)
+    assert wall_px.sum() > 200, "test camera does not see the tray wall"
+    assert np.mean(seg_p[wall_px] == 2) > 0.99, (
+        f"Pallas seg misses wall pixels: "
+        f"{np.mean(seg_p[wall_px] == 2):.3f} agreement"
+    )
+    assert np.mean(np.abs(depth_p[wall_px] - depth_r[wall_px]) < 1e-3) > 0.99

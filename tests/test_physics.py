@@ -20,6 +20,8 @@ from deep_rl_grasping_tpu.sim.types import (
     make_sim_params,
 )
 
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
 CUBE = 1  # wooden block 'cube' library id (3 cm, ~20 g)
 
 

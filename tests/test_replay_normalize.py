@@ -104,3 +104,50 @@ def test_reward_normalization_scales_by_return_std():
         state = nm.update_batch(state, jnp.zeros((8, 2)), r, d, gamma=0.9)
     scaled = nm.normalize_reward(state, jnp.asarray(100.0))
     assert 0.01 < float(scaled) < 2.0
+
+
+def test_nstep_returns_hand_computed():
+    """n-step gather: reward accumulation truncated at (and including) the
+    first terminal, discount zeroing, and next-index striding — against
+    hand-computed values (the flagship trains with n_step=3)."""
+    B, gamma = 2, 0.9
+    buf = replay.create(32, (1,), (1,), batch_stride=B, obs_dtype=jnp.float32)
+    # env 0: rewards 1,2,3,4 no terminal; env 1: rewards 10,20,30,40 with a
+    # terminal at t=1.
+    rews = [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0)]
+    dones = [(False, False), (False, True), (False, False), (False, False)]
+    for t in range(4):
+        obs = jnp.asarray([[float(t)], [100.0 + t]])
+        act = jnp.zeros((B, 1))
+        buf = replay.insert(
+            buf, obs, act, jnp.asarray(rews[t]), jnp.asarray(dones[t])
+        )
+    # Slot t=0 for both envs: ring index 0 (env 0) and 1 (env 1).
+    idx = jnp.asarray([0, 1], jnp.int32)
+    r, d, nxt, disc = replay._nstep_gather(buf, idx, n_step=3, gamma=gamma)
+    # env 0: 1 + .9*2 + .81*3 = 5.23, no terminal, disc = .9^3, next = t3
+    np.testing.assert_allclose(float(r[0]), 1 + 0.9 * 2 + 0.81 * 3, rtol=1e-6)
+    assert not bool(d[0])
+    np.testing.assert_allclose(float(disc[0]), 0.9**3, rtol=1e-6)
+    assert float(buf.obs[nxt[0], 0]) == 3.0
+    # env 1: 10 + .9*20 = 28, truncated at the terminal inside the window;
+    # episode ended -> done, discount 0.
+    np.testing.assert_allclose(float(r[1]), 10 + 0.9 * 20, rtol=1e-6)
+    assert bool(d[1])
+    np.testing.assert_allclose(float(disc[1]), 0.0)
+
+
+def test_nstep_valid_range_shrinks():
+    """Frames without n written successors must not be sampleable."""
+    B = 4
+    buf = replay.create(64, (1,), (1,), batch_stride=B, obs_dtype=jnp.float32)
+    for t in range(5):
+        buf = replay.insert(
+            buf, jnp.full((B, 1), float(t)), jnp.zeros((B, 1)),
+            jnp.zeros((B,)), jnp.zeros((B,), bool),
+        )
+    # 20 frames written; with n_step=3 only the first 2 batches (t=0,1)
+    # have 3 successors.
+    assert int(replay._valid_range(buf, n_step=3)) == 2 * B
+    batch = replay.sample(buf, jax.random.PRNGKey(0), 64, n_step=3, gamma=0.99)
+    assert float(batch["obs"].max()) <= 1.0

@@ -11,6 +11,9 @@ from jax.sharding import Mesh
 from deep_rl_grasping_tpu.parallel.train_dp import make_sharded_trainer
 from deep_rl_grasping_tpu.utils import config as cfg_util
 
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
+
 
 @pytest.fixture(scope="module")
 def small_cfg():

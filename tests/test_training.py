@@ -13,6 +13,9 @@ from deep_rl_grasping_tpu.training.trainer import Trainer
 from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
 from deep_rl_grasping_tpu.utils import config as cfg_util
 
+pytestmark = pytest.mark.physics  # heavy tier: real solver/env steps
+
+
 
 def _cfg(simplified=False, discrete=False, **algo_blocks):
     path = (
