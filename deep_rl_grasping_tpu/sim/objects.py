@@ -39,6 +39,18 @@ WOODEN_BLOCK_NAMES = [
 NUM_WOODEN = len(WOODEN_BLOCK_NAMES)
 NUM_RANDOM = 1000
 WOOD_DENSITY = 740.0  # kg/m^3, matches 30 mm cube @ 0.020 kg (cube.urdf)
+# Exact masses from the reference URDFs (models/wooden_blocks/<name>.urdf
+# <mass value>): sphere-compound volume underestimates boxes by ~2x
+# (sphere packing), so masses are pinned to the reference values rather
+# than derived from sphere volume (validated by scripts_dev/object_stats.py).
+WOODEN_BLOCK_MASSES = {
+    "circular_segment": 0.014,
+    "cube": 0.020,
+    "cuboid0": 0.035,
+    "cuboid1": 0.025,
+    "cylinder": 0.025,
+    "triangle": 0.020,
+}
 
 
 def _box_spheres(half_extents, s):
@@ -163,6 +175,12 @@ class ObjectLibrary:
             c = c[:S]
             r = r[:S]
             m, com, evals, evecs, c_p = _compound_mass_inertia(c, r, density)
+            if t < NUM_WOODEN:
+                # Rescale to the reference URDF mass, keeping the inertia
+                # shape from the sphere distribution.
+                m_ref = WOODEN_BLOCK_MASSES[WOODEN_BLOCK_NAMES[t]]
+                evals = evals * (m_ref / m)
+                m = m_ref
             n = len(r)
             centers[t, :n] = c_p
             radii[t, :n] = r
