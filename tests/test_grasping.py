@@ -178,8 +178,8 @@ def test_scripted_expert_grasp_rate_floor():
         states, _obs, r, dones, infos, _c = benv.step(states, actions, cur)
         return (
             states, k,
-            n_done + dones.sum(jnp.int32),
-            n_succ + (dones & infos["is_success"]).sum(jnp.int32),
+            n_done + dones.sum(dtype=jnp.int32),
+            n_succ + (dones & infos["is_success"]).sum(dtype=jnp.int32),
         ), None
 
     run = jax.jit(lambda st, k: jax.lax.scan(
