@@ -70,6 +70,14 @@ class SAC:
         # learner's reward units (i.e. post reward_scale).
         q_clip = c.get("q_clip")
         self.q_clip = None if q_clip is None else (float(q_clip[0]), float(q_clip[1]))
+        # Q-filtered behavior cloning on demonstration rows (SAC.bc_weight;
+        # SACfD-style, Nair et al. 2018 "Overcoming Exploration in RL with
+        # Demonstrations"): the actor loss gains
+        #   bc_weight * E_demo[ 1{Q(s,a_demo) > Q(s,a_pi)} * ||tanh(mu)-a||^2 ]
+        # — clone the expert only where the critic still rates the expert's
+        # action above the policy's, so BC accelerates early learning but
+        # cannot hold the policy below expert level once it surpasses it.
+        self.bc_weight = float(c.get("bc_weight", 0) or 0)
         if image_obs is None:
             image_obs = len(obs_shape) == 3
         self.image_obs = image_obs
@@ -171,12 +179,28 @@ class SAC:
         )
         critic_params = optax.apply_updates(state.critic_params, cu)
 
+        use_bc = self.bc_weight > 0 and "is_demo" in batch
+
         def actor_loss_fn(params):
             a, logp = self.sample_action(params, batch["obs"], k2)
             q = self.critic.apply({"params": critic_params}, batch["obs"], a).min(-1)
-            return jnp.mean(alpha * logp - q), logp
+            loss = jnp.mean(alpha * logp - q)
+            bc_loss = jnp.asarray(0.0)
+            if use_bc:
+                mean, _ = self.actor.apply({"params": params}, batch["obs"])
+                q_demo = self.critic.apply(
+                    {"params": critic_params}, batch["obs"], batch["action"]
+                ).min(-1)
+                mask = (
+                    batch["is_demo"]
+                    & (q_demo > jax.lax.stop_gradient(q))
+                ).astype(jnp.float32) * batch["weight"]
+                se = ((jnp.tanh(mean) - batch["action"]) ** 2).sum(-1)
+                bc_loss = (mask * se).sum() / jnp.maximum(mask.sum(), 1.0)
+                loss = loss + self.bc_weight * bc_loss
+            return loss, (logp, bc_loss)
 
-        (actor_loss, logp), actor_grads = jax.value_and_grad(
+        (actor_loss, (logp, bc_loss)), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True
         )(state.actor_params)
         actor_grads = self._pmean(actor_grads)
@@ -215,6 +239,7 @@ class SAC:
         metrics = dict(
             critic_loss=critic_loss,
             actor_loss=actor_loss,
+            bc_loss=bc_loss,
             alpha_loss=alpha_loss,
             alpha=alpha,
             entropy=-logp.mean(),

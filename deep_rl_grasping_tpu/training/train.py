@@ -154,13 +154,26 @@ def train(args):
     if getattr(args, "load_dir", None):
         prev = cb.Checkpointer(args.load_dir)
         bundle = prev.restore(_bundle(_first(state)))
+        # Resume point: the checkpoint step is the frame count at save time.
+        # Restoring it keeps frame-indexed schedules (target-entropy anneal,
+        # epsilon, demo-refresh cadence) continuous instead of restarting
+        # them; curriculum lambda + window resume likewise (the reference
+        # restarts both on --load_dir — a warm start there is only params —
+        # but a mid-run resume must not demote the task difficulty).
+        resume_frames = int(prev.latest_step() or 0)
         if sharded:
+            n_shards = mesh.devices.size
             rep = trainer.replicate_tree(
                 {"algo_state": bundle["algo_state"],
-                 "obs_rms": bundle["obs_rms"], "ret_rms": bundle["ret_rms"]}
+                 "obs_rms": bundle["obs_rms"], "ret_rms": bundle["ret_rms"],
+                 "curriculum": bundle["curriculum"],
+                 "global_step": np.asarray(resume_frames // n_shards,
+                                           np.int32)}
             )
             state = state.replace(
                 algo_state=rep["algo_state"],
+                curriculum=rep["curriculum"],
+                global_step=rep["global_step"],
                 normalizer=state.normalizer.replace(
                     obs_rms=rep["obs_rms"], ret_rms=rep["ret_rms"]
                 ),
@@ -168,18 +181,25 @@ def train(args):
         else:
             state = state.replace(
                 algo_state=bundle["algo_state"],
+                curriculum=bundle["curriculum"],
+                global_step=jnp.asarray(resume_frames, jnp.int32),
                 normalizer=state.normalizer.replace(
                     obs_rms=bundle["obs_rms"], ret_rms=bundle["ret_rms"]
                 ),
             )
-        logging.info("warm-started learner from %s", args.load_dir)
+        logging.info("warm-started learner from %s at %d frames (lambda %.3f)",
+                     args.load_dir, resume_frames,
+                     float(np.ravel(np.asarray(bundle["curriculum"].lam))[0]))
 
     # Demonstration seeding (config tpu.demo_frames): scripted-expert
     # frames fill the replay before learning starts (see Trainer.seed_demos;
     # sharded: one expert rollout per shard filling the local replay).
+    # Seeding also runs on --load_dir resumes: the replay ring is not part
+    # of the checkpoint, so a resumed run restarts from an EMPTY buffer —
+    # expert frames at the restored curriculum lambda are strictly better
+    # than learning_starts frames of the current policy alone.
     demo_frames = int(config.get("tpu", {}).get("demo_frames", 0))
-    if (demo_frames > 0 and algo in OFF_POLICY
-            and not getattr(args, "load_dir", None)):
+    if demo_frames > 0 and algo in OFF_POLICY:
         if sharded:
             seed_fn = trainer.seed_sharded(demo_frames)
         else:

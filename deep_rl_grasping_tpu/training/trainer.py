@@ -58,6 +58,11 @@ class LoopState:
     ep_len_sum: jnp.ndarray
     ep_ring: jnp.ndarray      # (MONITOR_RING, 3) per-episode (r, l, s)
     ep_ring_n: jnp.ndarray    # () int32 episodes ever written
+    # Protected expert-demonstration ring (SACfD-style, Vecerik et al. 2017 /
+    # Nair et al. 2018): demos live in their own buffer that policy data
+    # never overwrites, and each update batch oversamples it by
+    # tpu.demo_fraction. None when demo oversampling is disabled.
+    demo_buffer: object = None
 
 
 def _maybe_load_encoder(config):
@@ -227,6 +232,20 @@ class Trainer(EvalMixin):
         # propagation of the sparse terminal reward; 1 = classic TD(0).
         self.n_step = int(algo_cfg.get("n_step", 1))
         self.prioritized = bool(getattr(self.algo, "prioritized", False))
+        # Demo oversampling (tpu.demo_fraction in (0,1)): that fraction of
+        # every update batch is drawn from the protected demo ring instead
+        # of the main replay. Pairs with <ALGO>.bc_weight (the Q-filtered
+        # behavior-cloning term in SAC's actor loss).
+        self.demo_fraction = float(tpu_cfg.get("demo_fraction", 0) or 0)
+        self.demo_batch = int(round(self.batch_size * self.demo_fraction))
+        if self.demo_batch > 0 and not int(tpu_cfg.get("demo_frames", 0)):
+            raise ValueError(
+                "tpu.demo_fraction > 0 requires tpu.demo_frames > 0 "
+                "(the demo ring is filled by scripted-expert seeding)"
+            )
+        self.demo_capacity = int(
+            tpu_cfg.get("demo_capacity", tpu_cfg.get("demo_frames", 0))
+        )
 
         if self.env.discrete or self.algo_name == "BDQ":
             if self.algo_name == "BDQ":
@@ -255,7 +274,17 @@ class Trainer(EvalMixin):
         )
         algo_state = self.algo.init(k_algo)
         normalizer = norm_mod.NormalizerState.init(self.env.obs_shape, self.num_envs)
+        demo_buffer = None
+        if self.demo_batch > 0:
+            demo_buffer = replay_mod.create(
+                self.demo_capacity,
+                self.env.obs_shape,
+                self.act_shape,
+                batch_stride=self.num_envs,
+                action_dtype=self.act_dtype,
+            )
         return LoopState(
+            demo_buffer=demo_buffer,
             env_states=env_states,
             obs=obs,
             curriculum=curriculum,
@@ -298,7 +327,7 @@ class Trainer(EvalMixin):
         steps = max(n_frames // self.num_envs, 1)
 
         def body(carry, _):
-            env_states, obs, buffer, normalizer, key = carry
+            env_states, obs, buffer, demo_buffer, normalizer, key = carry
             key, ka = jax.random.split(key)
             keys = jax.random.split(ka, self.num_envs)
             actions = jax.vmap(lambda s, k: expert(self.env, s, k))(
@@ -312,22 +341,27 @@ class Trainer(EvalMixin):
                 gamma=self.algo.gamma, training=self.normalize,
             )
             buffer = replay_mod.insert(buffer, obs, actions, rewards, dones)
+            if demo_buffer is not None:
+                demo_buffer = replay_mod.insert(
+                    demo_buffer, obs, actions, rewards, dones
+                )
             n_succ = (dones & infos["is_success"]).sum(dtype=jnp.float32)
             n_done = dones.sum(dtype=jnp.float32)
-            return (env_states, next_obs, buffer, normalizer, key), (
-                n_done, n_succ,
-            )
+            return (env_states, next_obs, buffer, demo_buffer, normalizer,
+                    key), (n_done, n_succ)
 
-        (env_states, obs, buffer, normalizer, key), (nd, ns) = jax.lax.scan(
-            body,
-            (state.env_states, state.obs, state.buffer, state.normalizer,
-             state.key),
-            None,
-            length=steps,
+        (env_states, obs, buffer, demo_buffer, normalizer, key), (nd, ns) = (
+            jax.lax.scan(
+                body,
+                (state.env_states, state.obs, state.buffer, state.demo_buffer,
+                 state.normalizer, state.key),
+                None,
+                length=steps,
+            )
         )
         return state.replace(
             env_states=env_states, obs=obs, buffer=buffer,
-            normalizer=normalizer, key=key,
+            demo_buffer=demo_buffer, normalizer=normalizer, key=key,
         ), nd.sum(), ns.sum()
 
     # ------------------------------------------------------------------ core
@@ -396,6 +430,8 @@ class Trainer(EvalMixin):
             self.learning_starts, self.batch_size + self.num_envs
         )
 
+        demo_buffer = state.demo_buffer
+
         def update_once(algo_state, buffer, k):
             ks, ku = jax.random.split(k)
             if self.prioritized:
@@ -403,6 +439,35 @@ class Trainer(EvalMixin):
                     buffer, ks, self.batch_size,
                     n_step=self.n_step, gamma=self.algo.gamma,
                 )
+            elif self.demo_batch > 0:
+                # SACfD-style mixed batch: (batch - demo_batch) uniform from
+                # the main ring + demo_batch from the protected demo ring;
+                # `is_demo` marks the demo rows for the BC actor term.
+                ks1, ks2 = jax.random.split(ks)
+                main = replay_mod.sample(
+                    buffer, ks1, self.batch_size - self.demo_batch,
+                    n_step=self.n_step, gamma=self.algo.gamma,
+                )
+                demo = replay_mod.sample(
+                    demo_buffer, ks2, self.demo_batch,
+                    n_step=self.n_step, gamma=self.algo.gamma,
+                )
+                batch = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], 0), main, demo
+                )
+                batch["is_demo"] = jnp.concatenate(
+                    [jnp.zeros(self.batch_size - self.demo_batch, bool),
+                     jnp.ones(self.demo_batch, bool)]
+                )
+                # Guard against an unseeded demo ring (its zero frames must
+                # not train the critic): zero those rows' loss weights.
+                demo_ok = demo_buffer.size >= (
+                    (self.n_step + 1) * demo_buffer.batch_stride
+                )
+                batch["weight"] = jnp.where(
+                    batch["is_demo"] & ~demo_ok, 0.0, batch["weight"]
+                )
+                batch["is_demo"] = batch["is_demo"] & demo_ok
             else:
                 batch = replay_mod.sample(
                     buffer, ks, self.batch_size,
@@ -468,6 +533,7 @@ class Trainer(EvalMixin):
         ep_ring = state.ep_ring.at[pos].set(rows, mode="drop")
 
         new_state = LoopState(
+            demo_buffer=state.demo_buffer,
             env_states=env_states,
             obs=next_obs,
             curriculum=curriculum,

@@ -70,6 +70,45 @@ def test_sac_critic_learns_reward():
     assert float(metrics["critic_loss"]) < 0.5
 
 
+def test_sac_bc_term_clones_demo_actions():
+    """Q-filtered BC (SAC.bc_weight): with every row marked is_demo and a
+    fixed demo action, repeated updates must pull tanh(mean) toward the demo
+    action much faster than plain SAC would drift there."""
+    cfg = dict(CFG)
+    cfg["SAC"] = dict(CFG["SAC"], bc_weight=5.0)
+    sac = SAC(OBS, 2, cfg)
+    assert sac.bc_weight == 5.0
+    state = sac.init(jax.random.PRNGKey(0))
+    update = jax.jit(sac.update)
+    demo_a = jnp.tile(jnp.asarray([[0.7, -0.5]]), (32, 1))
+    key = jax.random.PRNGKey(3)
+    for i in range(150):
+        key, k = jax.random.split(key)
+        batch = _batch(k, (2,))
+        batch["action"] = demo_a
+        batch["reward"] = jnp.ones((32,))  # demo actions rate well
+        batch["is_demo"] = jnp.ones((32,), bool)
+        state, metrics, _ = update(state, batch, k)
+    mean, _ = sac.actor.apply(
+        {"params": state.actor_params}, batch["obs"]
+    )
+    err = float(jnp.abs(jnp.tanh(mean) - demo_a).mean())
+    assert err < 0.25, f"BC did not clone demo actions (mean |err| {err:.3f})"
+    assert np.isfinite(float(metrics["bc_loss"]))
+
+
+def test_sac_bc_ignored_without_flag():
+    """A batch without is_demo must take the plain actor-loss path even when
+    bc_weight is configured (other callers: eval, tests, bench)."""
+    cfg = dict(CFG)
+    cfg["SAC"] = dict(CFG["SAC"], bc_weight=5.0)
+    sac = SAC(OBS, 2, cfg)
+    state = sac.init(jax.random.PRNGKey(0))
+    batch = _batch(jax.random.PRNGKey(1), (2,))
+    state, metrics, _ = jax.jit(sac.update)(state, batch, jax.random.PRNGKey(2))
+    assert float(metrics["bc_loss"]) == 0.0
+
+
 def test_dqn_update_and_act():
     dqn = DQN(OBS, 4, CFG)
     state = dqn.init(jax.random.PRNGKey(0))

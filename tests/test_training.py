@@ -50,6 +50,30 @@ def test_offpolicy_continuous_trainers(algo, discrete):
         assert np.isfinite(float(v)), k
 
 
+def test_sac_demo_buffer_and_bc_wiring():
+    """SACfD wiring: tpu.demo_fraction creates the protected demo ring,
+    seed_demos fills it, and train_step draws mixed batches with the BC term
+    active (bc_loss metric present and finite)."""
+    cfg = _cfg(SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16],
+                    "bc_weight": 1.0})
+    cfg["tpu"]["demo_frames"] = 64
+    cfg["tpu"]["demo_fraction"] = 0.25
+    tr = Trainer(cfg, algo="SAC")
+    tr.learning_starts = 8
+    assert tr.demo_batch == 2
+    state = jax.jit(tr.init_state)(jax.random.PRNGKey(0))
+    assert state.demo_buffer is not None
+    assert state.demo_buffer.capacity == 64
+    state, nd, ns = jax.jit(lambda s: tr.seed_demos(s, 32))(state)
+    assert int(state.demo_buffer.size) == 32
+    assert int(state.buffer.size) == 32  # demos also land in the main ring
+    step = jax.jit(tr.train_step)
+    for _ in range(4):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["bc_loss"]))
+    assert int(state.demo_buffer.size) == 32  # policy data never overwrites
+
+
 def test_dqn_trainer_discrete():
     cfg = _cfg(discrete=True, DQN={"batch_size": 8, "buffer_size": 128,
                                    "prioritized_replay": True})
