@@ -78,6 +78,14 @@ class SAC:
         # action above the policy's, so BC accelerates early learning but
         # cannot hold the policy below expert level once it surpasses it.
         self.bc_weight = float(c.get("bc_weight", 0) or 0)
+        # Static demo-tail size: the trainer's mixed batches place the
+        # demo_fraction * batch_size demonstration rows LAST (concatenated
+        # after the uniform rows), so the BC term's extra actor/critic
+        # applies only need that tail slice — at the flagship's 25% the
+        # extra forward-pass cost drops 4x vs running them on the full
+        # batch. 0 = unknown layout; compute on the full batch.
+        demo_frac = float(config.get("tpu", {}).get("demo_fraction", 0) or 0)
+        self.bc_tail = int(round(self.batch_size * demo_frac))
         if image_obs is None:
             image_obs = len(obs_shape) == 3
         self.image_obs = image_obs
@@ -187,15 +195,23 @@ class SAC:
             loss = jnp.mean(alpha * logp - q)
             bc_loss = jnp.asarray(0.0)
             if use_bc:
-                mean, _ = self.actor.apply({"params": params}, batch["obs"])
+                # Demo rows are the batch's static tail (trainer layout);
+                # restrict the extra forward passes to it when known.
+                t = (self.bc_tail
+                     if 0 < self.bc_tail < batch["obs"].shape[0]
+                     and batch["obs"].shape[0] == self.batch_size
+                     else batch["obs"].shape[0])
+                obs_t = batch["obs"][-t:]
+                act_t = batch["action"][-t:]
+                mean, _ = self.actor.apply({"params": params}, obs_t)
                 q_demo = self.critic.apply(
-                    {"params": critic_params}, batch["obs"], batch["action"]
+                    {"params": critic_params}, obs_t, act_t
                 ).min(-1)
                 mask = (
-                    batch["is_demo"]
-                    & (q_demo > jax.lax.stop_gradient(q))
-                ).astype(jnp.float32) * batch["weight"]
-                se = ((jnp.tanh(mean) - batch["action"]) ** 2).sum(-1)
+                    batch["is_demo"][-t:]
+                    & (q_demo > jax.lax.stop_gradient(q[-t:]))
+                ).astype(jnp.float32) * batch["weight"][-t:]
+                se = ((jnp.tanh(mean) - act_t) ** 2).sum(-1)
                 bc_loss = (mask * se).sum() / jnp.maximum(mask.sum(), 1.0)
                 loss = loss + self.bc_weight * bc_loss
             return loss, (logp, bc_loss)
