@@ -513,13 +513,18 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 return (lam_n_new, lt1, lt2), (dl_n, lt1 - lam_t1, lt2 - lam_t2)
 
             # ---------------------------------------------------- passes
+            # Statics solve constants — substep-invariant, hoisted out of
+            # the solver_iterations loop (same rationale as pad_solve_consts).
+            st_t1, st_t2 = _tangent_basis(st_n)
+            iI_b = tuple(p[None] for p in iI_k)
+            invm_b = inv_m_flat[None]
+            st_w_n = w_obj_dir(st_r, st_n, iI_b, invm_b)
+            st_w_t1 = w_obj_dir(st_r, st_t1, iI_b, invm_b)
+            st_w_t2 = w_obj_dir(st_r, st_t2, iI_b, invm_b)
+
             def pass_statics(V, W, lam):
-                t1, t2 = _tangent_basis(st_n)
-                iI_b = tuple(p[None] for p in iI_k)
-                invm_b = inv_m_flat[None]
-                w_n = w_obj_dir(st_r, st_n, iI_b, invm_b)
-                w_t1 = w_obj_dir(st_r, t1, iI_b, invm_b)
-                w_t2 = w_obj_dir(st_r, t2, iI_b, invm_b)
+                t1, t2 = st_t1, st_t2
+                w_n, w_t1, w_t2 = st_w_n, st_w_t1, st_w_t2
                 Vk = tuple(V[c][None, :, None, :] for c in range(3))
                 Wk = tuple(W[c][None, :, None, :] for c in range(3))
                 v = _add(Vk, _cross(Wk, st_r))
@@ -539,12 +544,28 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 )
                 return _add(V, dV), _add(W, dW), lam
 
-            def pass_pad(V, W, qd, lam, n, pen_bias, act, r, rb, axis, fdof,
-                         om, bias_scale, warm_vals=None):
+            # Pad solve constants are invariant across the whole
+            # solver_iterations x pad_inner_iterations nest (they depend
+            # only on substep-level geometry, never on V/W/qd), but the
+            # nest executes pass_pad 2 x solver_iterations x
+            # pad_inner_iterations (= 112x with default params) times per
+            # substep — hoisting the tangent bases, effective masses and
+            # jacobians out of the loops roughly halves the pad passes' op
+            # count, the kernel's dominant instruction stream. VMEM cost:
+            # 24 extra (K,S,E) planes per pad (~1 MB/pad at E=128).
+            def pad_solve_consts(n, r, rb, axis, fdof):
                 t1, t2 = _tangent_basis(n)
                 w_n, jac_n = pad_w(n, r, rb, axis, fdof)
                 w_t1, jac_t1 = pad_w(t1, r, rb, axis, fdof)
                 w_t2, jac_t2 = pad_w(t2, r, rb, axis, fdof)
+                return (t1, t2, w_n, w_t1, w_t2, jac_n, jac_t1, jac_t2)
+
+            pl_consts = pad_solve_consts(pl_n, pl_r, pl_rb, axis_l, 4)
+            pr_consts = pad_solve_consts(pr_n, pr_r, pr_rb, axis_r, 5)
+
+            def pass_pad(V, W, qd, lam, n, pen_bias, act, r, consts, fdof,
+                         om, bias_scale, warm_vals=None):
+                (t1, t2, w_n, w_t1, w_t2, jac_n, jac_t1, jac_t2) = consts
                 if warm_vals is None:
                     v = obj_slot_vel(V, W, r)
 
@@ -579,11 +600,17 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                     qd[idx] = qd[idx] + (dq * act).sum((0, 1)) * inv_dof_mass[idx]
                 return V, W, qd, lam
 
+            # Object-pair solve constants — the (NP,S,S,E) planes are the
+            # kernel's largest shapes; their bases/effective masses are
+            # substep-invariant and executed solver_iterations times.
+            oo_t1, oo_t2 = _tangent_basis(oo_n)
+            oo_w_n = oo_w(oo_n)
+            oo_w_t1 = oo_w(oo_t1)
+            oo_w_t2 = oo_w(oo_t2)
+
             def pass_objobj(V, W, lam):
-                t1, t2 = _tangent_basis(oo_n)
-                w_n = oo_w(oo_n)
-                w_t1 = oo_w(t1)
-                w_t2 = oo_w(t2)
+                t1, t2 = oo_t1, oo_t2
+                w_n, w_t1, w_t2 = oo_w_n, oo_w_t1, oo_w_t2
                 Vi = tuple(
                     jnp.stack([V[c][i] for i in ii])[:, None, None, :]
                     for c in range(3)
@@ -629,7 +656,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             lam_w = tuple(
                 l * (gate * sp["warm_start"] * st_act) for l in lam_st
             )
-            t1s, t2s = _tangent_basis(st_n)
+            t1s, t2s = st_t1, st_t2
             Pw = _add(
                 _add(_scale(st_n, lam_w[0]), _scale(t1s, lam_w[1])),
                 _scale(t2s, lam_w[2]),
@@ -647,17 +674,17 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             lam_w = gated(lam_pl, no_pl, pl_n, pl_act)
             V, W, qd, lam_pl = pass_pad(
-                V, W, qd, lam_w, pl_n, pl_bias, pl_act, pl_r, pl_rb,
-                axis_l, 4, omega, 1.0, warm_vals=lam_w,
+                V, W, qd, lam_w, pl_n, pl_bias, pl_act, pl_r, pl_consts,
+                4, omega, 1.0, warm_vals=lam_w,
             )
             lam_w = gated(lam_pr, no_pr, pr_n, pr_act)
             V, W, qd, lam_pr = pass_pad(
-                V, W, qd, lam_w, pr_n, pr_bias, pr_act, pr_r, pr_rb,
-                axis_r, 5, omega, 1.0, warm_vals=lam_w,
+                V, W, qd, lam_w, pr_n, pr_bias, pr_act, pr_r, pr_consts,
+                5, omega, 1.0, warm_vals=lam_w,
             )
 
             lam_w = gated(lam_oo, no_oo, oo_n, oo_act)
-            t1o, t2o = _tangent_basis(oo_n)
+            t1o, t2o = oo_t1, oo_t2
             Pw = _add(
                 _add(_scale(oo_n, lam_w[0]), _scale(t1o, lam_w[1])),
                 _scale(t2o, lam_w[2]),
@@ -689,12 +716,12 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                     qd, lam_m = solve_motor(qd, lam_m)
                     V, W, qd, lam_pl = pass_pad(
                         V, W, qd, lam_pl, pl_n, pl_bias, pl_act, pl_r,
-                        pl_rb, axis_l, 4, sp["pad_omega"],
+                        pl_consts, 4, sp["pad_omega"],
                         sp["pad_bias_scale"],
                     )
                     V, W, qd, lam_pr = pass_pad(
                         V, W, qd, lam_pr, pr_n, pr_bias, pr_act, pr_r,
-                        pr_rb, axis_r, 5, sp["pad_omega"],
+                        pr_consts, 5, sp["pad_omega"],
                         sp["pad_bias_scale"],
                     )
                     return (V, W, qd, lam_m, lam_pl, lam_pr)
