@@ -243,6 +243,23 @@ class Checkpointer:
             raw = self._mgr.restore(step)
             return _graft_raw(raw, tree)
 
+    def restore_best(self, tree):
+        """Restore the best-eval bundle (saved by save_best)."""
+        import orbax.checkpoint as ocp
+
+        step = self._best_mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no best-model checkpoint under {self._best_dir}"
+            )
+        try:
+            return self._best_mgr.restore(step, args=ocp.args.StandardRestore(tree))
+        except (ValueError, KeyError, TypeError) as e:
+            import logging
+
+            logging.warning("best StandardRestore failed (%s); grafting", e)
+            return _graft_raw(self._best_mgr.restore(step), tree)
+
     def restore_raw(self, step=None):
         step = self._mgr.latest_step() if step is None else int(step)
         return self._mgr.restore(step)

@@ -376,7 +376,10 @@ def run(args):
         trainer = Trainer(config, algo=algo)
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
     ckpt = cb.Checkpointer(model_dir)
-    bundle = ckpt.restore(_bundle(state))
+    if getattr(args, "best", False):
+        bundle = ckpt.restore_best(_bundle(state))
+    else:
+        bundle = ckpt.restore(_bundle(state))
     algo_state = bundle["algo_state"]
     state = state.replace(
         normalizer=state.normalizer.replace(
@@ -418,6 +421,8 @@ def main(argv=None):
     rp.add_argument("--model", type=str, required=True)
     rp.add_argument("-t", "--test", action="store_true")
     rp.add_argument("-s", "--stochastic", action="store_true")
+    rp.add_argument("-b", "--best", action="store_true",
+                    help="evaluate the best-eval checkpoint instead of latest")
     rp.add_argument("-v", "--visualize", action="store_true")
     rp.add_argument("--episodes", type=int, default=100)
     rp.set_defaults(func=run)
