@@ -111,6 +111,8 @@ class GraspEnv:
             lib,
             scene_type=self.scene_type,
             solver_iterations=int(tpu.get("solver_iterations", 8)),
+            pad_inner_iterations=int(tpu.get("pad_inner_iterations", 14)),
+            dt=float(tpu.get("dt", 1.0 / 240.0)),
         )
         if scene_cfg.get("data_set", "random_urdfs") == "wooden_blocks":
             ids = lib.wooden_block_ids()

@@ -1,0 +1,99 @@
+"""Sweep cheaper physics schedules against the scripted expert's grasp rate.
+
+The fused solver is ~94% of the env step (scripts_dev/perf_probe.py), and
+its cost is linear in substeps x solver_iterations x pad_inner_iterations.
+This sweep measures, ON THE CHIP, for each candidate schedule:
+  - scripted-expert success rate at lambda=0 and lambda=1 (the sim-fidelity
+    gate: the round-3 default holds >=99.8%)
+  - batched env.step wall time at --envs
+A schedule is only eligible to become the default if the expert rate stays
+>=99% at both lambdas (then the full grasp-rate floor test must also pass).
+
+Usage: python scripts_dev/physics_cost_sweep.py [--envs 1024] [--steps 120]
+"""
+import sys, os, time, argparse, copy
+sys.path.insert(0, '/root/repo')
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+p = argparse.ArgumentParser()
+p.add_argument('--envs', type=int, default=1024)
+p.add_argument('--steps', type=int, default=120)
+p.add_argument('--config', default='configs/sac_full_flagship.yaml')
+args = p.parse_args()
+
+from deep_rl_grasping_tpu.envs.grasp_env import GraspEnv, BatchedGraspEnv
+from deep_rl_grasping_tpu.envs import scripted
+from deep_rl_grasping_tpu.utils import config as cfg_util
+
+BASE = cfg_util.load_config(args.config)
+B = args.envs
+
+# (name, tpu-overrides)
+VARIANTS = [
+    ("default 48ss/8it/14pad dt240", {}),
+    ("pad8     48ss/8it/8pad",  {"pad_inner_iterations": 8}),
+    ("it6pad8  48ss/6it/8pad",  {"solver_iterations": 6, "pad_inner_iterations": 8}),
+    ("it4pad8  48ss/4it/8pad",  {"solver_iterations": 4, "pad_inner_iterations": 8}),
+    ("dt120    24ss/8it/14pad dt120",
+     {"dt": 1.0 / 120.0, "gripper_substeps": 24, "move_substeps": 12}),
+    ("dt120it6pad8 24ss/6it/8pad",
+     {"dt": 1.0 / 120.0, "gripper_substeps": 24, "move_substeps": 12,
+      "solver_iterations": 6, "pad_inner_iterations": 8}),
+]
+
+
+def expert_rate(env, benv, lam, key):
+    cur = benv.init_curriculum().replace(lam=jnp.asarray(lam, jnp.float32))
+    states, _ = jax.jit(benv.reset)(key, cur)
+
+    @jax.jit
+    def rollout(states, key):
+        def body(carry, _):
+            states, k, nd, ns = carry
+            k, ka = jax.random.split(k)
+            keys = jax.random.split(ka, B)
+            acts = jax.vmap(
+                lambda s, kk: scripted.scripted_full_action(env, s, kk)
+            )(states, keys)
+            states, obs, r, dones, infos, _ = benv.step(states, acts, cur)
+            return (states, k, nd + dones.sum(),
+                    ns + (dones & infos['is_success']).sum()), None
+        (states, _, nd, ns), _ = jax.lax.scan(
+            body, (states, key, jnp.asarray(0, jnp.int32),
+                   jnp.asarray(0, jnp.int32)), None, length=args.steps)
+        return nd, ns
+
+    t0 = time.perf_counter()
+    nd, ns = rollout(states, jax.random.PRNGKey(2))
+    nd, ns = int(nd), int(ns)
+    wall = time.perf_counter() - t0
+    return ns / max(nd, 1), nd, wall
+
+
+def step_ms(env, benv):
+    cur = benv.init_curriculum()
+    states, _ = jax.jit(benv.reset)(jax.random.PRNGKey(0), cur)
+    zero = jnp.zeros((B, env.action_dim), jnp.float32)
+    stepf = jax.jit(lambda s: benv.step(s, zero, cur)[0])
+    s = stepf(states); jax.block_until_ready(s.sim.gripper.q)
+    s = stepf(s); jax.block_until_ready(s.sim.gripper.q)
+    t0 = time.perf_counter()
+    for _ in range(15):
+        s = stepf(s)
+    jax.block_until_ready(s.sim.gripper.q)
+    return (time.perf_counter() - t0) / 15 * 1e3
+
+
+for name, ov in VARIANTS:
+    cfg = copy.deepcopy(BASE)
+    cfg.setdefault("tpu", {}).update(ov)
+    env = GraspEnv(cfg)
+    benv = BatchedGraspEnv(env, B)
+    ms = step_ms(env, benv)
+    r0, n0, _ = expert_rate(env, benv, 0.0, jax.random.PRNGKey(10))
+    r1, n1, _ = expert_rate(env, benv, 1.0, jax.random.PRNGKey(11))
+    print(f"{name:<34} step {ms:7.2f} ms ({B/ms*1e3:8.0f} st/s)  "
+          f"expert lam0 {100*r0:5.1f}% ({n0} ep)  lam1 {100*r1:5.1f}% ({n1} ep)",
+          flush=True)
