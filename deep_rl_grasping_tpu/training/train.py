@@ -252,6 +252,16 @@ def train(args):
     refresh_fn = None
     last_demo = 0
 
+    # Optional early stop at the target: the r3b flagship showed the
+    # stochastic-rollout sr drifting down after ~800k frames of training
+    # past a solved task (replay saturates with successes; the
+    # deterministic policy stays at 0.97). Stopping once the monitor sr
+    # holds >= the target at full difficulty both avoids that drift and
+    # frees the chip.
+    stop_at_sr = config.get("tpu", {}).get("stop_at_sr")
+    stop_patience = int(config.get("tpu", {}).get("stop_at_patience", 50))
+    stop_streak = 0
+
     logging.info("training %s for %d frames (%d envs)", algo, total_timesteps,
                  trainer.num_envs)
     frames = 0
@@ -299,6 +309,17 @@ def train(args):
                 "frames %d  sr %.3f  lambda %.2f  %.0f steps/s",
                 frames, sr, lam, timer.steps_per_s,
             )
+
+            if stop_at_sr is not None:
+                at_target = lam >= 1.0 and sr >= float(stop_at_sr)
+                stop_streak = stop_streak + 1 if at_target else 0
+                if stop_streak >= stop_patience:
+                    logging.info(
+                        "early stop: sr %.3f >= %.3f at lambda=1.0 for %d "
+                        "consecutive chunks (%d frames)", sr,
+                        float(stop_at_sr), stop_patience, frames,
+                    )
+                    break
 
             if (q_band and not sharded and "q_target_mean" in row
                     and last_ckpt > 0 and frames - last_rollback > checkpoint_freq):
