@@ -142,6 +142,12 @@ class EvalMixin:
         eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
                             encoder_fn=self.env.encoder_fn)
         eval_env.branched_actions = self.env.branched_actions
+        # BDQ overrides the actuator pad count on the TRAIN env (make_algo:
+        # BDQ.num_actions_pad wins over robot.num_actions_pad); the fresh
+        # eval env must decode with the same bins or every branched action
+        # lands on the wrong bin (observed: train sr 0.89, eval 0.0).
+        eval_env.actuator_spec = self.env.actuator_spec
+        self._last_eval_env = eval_env  # introspection (tests)
         benv = BatchedGraspEnv(eval_env, n_episodes)
         curriculum = benv.init_curriculum()
         key = jax.random.PRNGKey(0) if key is None else key

@@ -103,6 +103,15 @@ def test_bdq_trainer_simplified():
     # branched actions stored as (B, 3) bins
     assert state.buffer.action.shape[-1] == 3
 
+    # Regression (r3 BDQ run): the fresh eval env must inherit the
+    # BDQ-overridden actuator pad count, or deterministic eval decodes
+    # every action with the wrong bins (train sr 0.89 / eval 0.0).
+    res = tr.evaluate(state.algo_state, state.normalizer, n_episodes=2)
+    assert (tr._last_eval_env.actuator_spec.num_actions_pad
+            == tr.env.actuator_spec.num_actions_pad == 5)
+    assert tr._last_eval_env.branched_actions
+    assert float(res["episodes"]) >= 1.0
+
 
 @pytest.mark.parametrize("algo", ["PPO", "TRPO"])
 def test_onpolicy_trainers(algo):
