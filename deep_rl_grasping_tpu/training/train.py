@@ -29,6 +29,13 @@ sys.path.insert(
 )
 
 import jax
+
+# Honor JAX_PLATFORMS even on hosts whose sitecustomize registers an
+# always-on accelerator plugin (env vars alone don't win there; the config
+# must be overridden after import and before any backend use).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -27,6 +27,7 @@ CONFIGS = {
     "simplified_cont": "tests/configs/test_simplified_cont.yaml",
     "encoder": "tests/configs/test_encoder.yaml",
     "encoder_simp": "tests/configs/test_encoder_simp.yaml",
+    "rgbd": "tests/configs/test_rgbd.yaml",
 }
 
 _cache = {}
@@ -60,7 +61,10 @@ def test_action_spaces(name):
 def test_observation_space(name):
     env = make_env(name)
     obs_shape = env.observation_space.shape
-    if env.depth_obs and env.is_simplified():
+    if env.full_obs:
+        # rgb+depth+pad channels (reference robot.py:202)
+        assert obs_shape == (64, 64, 5)
+    elif env.depth_obs and env.is_simplified():
         assert obs_shape == (64, 64, 2)
     elif env.depth_obs and not env.is_simplified():
         assert obs_shape == (64, 64, 2)
