@@ -1,0 +1,101 @@
+#!/bin/bash
+# Self-driving chip-job queue for the remaining round-3 model families.
+#
+# The axon tunnel admits ONE process at a time and occasionally drops or
+# hangs mid-call (see docs/TRAINING_NOTES.md), so chip jobs must be
+# serialized and supervised. This script waits for the TPU to come back,
+# then runs each training to completion with stall detection and
+# checkpoint resume, runs the 100-episode eval protocol on the result,
+# and finishes with the 4096-env bench.
+#
+# Usage: nohup bash scripts_dev/run_queue.sh & echo $! > /tmp/queue.pid
+# Progress: tail -f /tmp/queue.log
+cd /root/repo || exit 1
+LOG=/tmp/queue.log
+say() { echo "[queue $(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+wait_tpu() {
+  while true; do
+    if timeout 150 python -c "import jax; d=jax.devices(); assert d[0].platform != 'cpu', d" >/dev/null 2>&1; then
+      say "TPU up"
+      return 0
+    fi
+    say "TPU unreachable; retry in 240s"
+    sleep 240
+  done
+}
+
+train_job() { # name config
+  local name=$1 config=$2
+  local dir=out/$name log=out/${name}_train.log
+  if [ -f "$dir/QUEUE_DONE" ]; then say "$name already done"; return 0; fi
+  local attempt
+  for attempt in 1 2 3 4 5 6; do
+    wait_tpu
+    local resume=""
+    if [ -d "$dir/logs" ] && [ -n "$(ls -A "$dir/logs" 2>/dev/null)" ]; then
+      resume="--load_dir $dir"
+    fi
+    say "$name attempt $attempt $resume"
+    nohup python -m deep_rl_grasping_tpu.training.train train \
+      --config "$config" --algo SAC --model_dir "$dir" $resume \
+      >> "$log" 2>&1 &
+    local pid=$!
+    echo "$pid" > /tmp/queue_job.pid
+    # Supervise: finished -> break; log static >45 min (tunnel hang; cold
+    # compile of the full task is ~20-40 min, so the bar sits above it)
+    # -> kill by PID and resume from the last checkpoint.
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 120
+      local age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+      if [ "$age" -gt 2700 ]; then
+        say "$name stalled (${age}s without log output) — killing pid $pid"
+        kill "$pid" 2>/dev/null
+        sleep 10
+        kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$pid" 2>/dev/null
+    local rc=$?
+    if tail -5 "$log" | grep -q "done: "; then
+      touch "$dir/QUEUE_DONE"
+      say "$name finished (rc=$rc)"
+      return 0
+    fi
+    say "$name ended rc=$rc without completing — retrying"
+    sleep 30
+  done
+  say "$name FAILED after 6 attempts"
+  return 1
+}
+
+eval_job() { # name
+  local name=$1
+  [ -f "out/$name/QUEUE_DONE" ] || return 0
+  if [ ! -f "out/$name/protocol_val.log" ]; then
+    wait_tpu
+    say "eval $name (validation split, best checkpoint)"
+    timeout 3600 python -m deep_rl_grasping_tpu.training.train run \
+      --model "out/$name" --best > "out/$name/protocol_val.log" 2>&1
+  fi
+  if [ ! -f "out/$name/protocol_test.log" ]; then
+    wait_tpu
+    say "eval $name (test split, best checkpoint)"
+    timeout 3600 python -m deep_rl_grasping_tpu.training.train run \
+      --model "out/$name" --best -t > "out/$name/protocol_test.log" 2>&1
+  fi
+}
+
+say "=== queue start ==="
+train_job sac_encoder_flagship configs/sac_encoder_flagship.yaml
+eval_job sac_encoder_flagship
+train_job sac_rgbd_flagship configs/sac_rgbd_flagship.yaml
+eval_job sac_rgbd_flagship
+train_job sac_table_clearing configs/sac_table_clearing.yaml
+eval_job sac_table_clearing
+wait_tpu
+say "bench (4096 envs)"
+timeout 3600 python bench.py > /tmp/queue_bench.log 2>&1
+say "bench result: $(tail -1 /tmp/queue_bench.log)"
+say "=== queue complete ==="
