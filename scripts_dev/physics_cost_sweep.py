@@ -14,6 +14,10 @@ Usage: python scripts_dev/physics_cost_sweep.py [--envs 1024] [--steps 120]
 import sys, os, time, argparse, copy
 sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp
+if os.environ.get("JAX_PLATFORMS"):
+    # fidelity half is platform-independent; allow JAX_PLATFORMS=cpu runs
+    # while the tunnel is down (timing numbers are then CPU-only, ignore)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -21,6 +25,7 @@ p = argparse.ArgumentParser()
 p.add_argument('--envs', type=int, default=1024)
 p.add_argument('--steps', type=int, default=120)
 p.add_argument('--config', default='configs/sac_full_flagship.yaml')
+p.add_argument('--only', default='', help='substring filter on variant names')
 args = p.parse_args()
 
 from deep_rl_grasping_tpu.envs.grasp_env import GraspEnv, BatchedGraspEnv
@@ -87,6 +92,8 @@ def step_ms(env, benv):
 
 
 for name, ov in VARIANTS:
+    if args.only and args.only not in name:
+        continue
     cfg = copy.deepcopy(BASE)
     cfg.setdefault("tpu", {}).update(ov)
     env = GraspEnv(cfg)

@@ -88,12 +88,26 @@ eval_job() { # name
 }
 
 say "=== queue start ==="
+# BDQ trained to completion earlier this round (out/bdq_simplified); its
+# 100-episode protocol eval died with the tunnel — run it first (quick).
+touch out/bdq_simplified/QUEUE_DONE
+eval_job bdq_simplified
 train_job sac_encoder_flagship configs/sac_encoder_flagship.yaml
 eval_job sac_encoder_flagship
 train_job sac_rgbd_flagship configs/sac_rgbd_flagship.yaml
 eval_job sac_rgbd_flagship
 train_job sac_table_clearing configs/sac_table_clearing.yaml
 eval_job sac_table_clearing
+# Physics-schedule cost/fidelity sweep on the chip (perf item: the solver
+# is ~94% of the env step; a fidelity-passing cheaper schedule is the next
+# throughput lever). Results in /tmp/queue_sweep.log for a human decision.
+if [ ! -f /tmp/queue_sweep.log ] || ! grep -q "expert" /tmp/queue_sweep.log; then
+  wait_tpu
+  say "physics-schedule sweep (1024 envs)"
+  timeout 10800 python scripts_dev/physics_cost_sweep.py --envs 1024 --steps 120 \
+    > /tmp/queue_sweep.log 2>&1
+  say "sweep done: $(grep -c 'expert' /tmp/queue_sweep.log) variants measured"
+fi
 wait_tpu
 say "bench (4096 envs)"
 timeout 3600 python bench.py > /tmp/queue_bench.log 2>&1
