@@ -46,6 +46,12 @@ VARIANTS = [
     ("dt120it6pad8 24ss/6it/8pad",
      {"dt": 1.0 / 120.0, "gripper_substeps": 24, "move_substeps": 12,
       "solver_iterations": 6, "pad_inner_iterations": 8}),
+    ("dt120it4pad6 24ss/4it/6pad",
+     {"dt": 1.0 / 120.0, "gripper_substeps": 24, "move_substeps": 12,
+      "solver_iterations": 4, "pad_inner_iterations": 6}),
+    ("dt80it6pad8  16ss/6it/8pad dt80",
+     {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
+      "solver_iterations": 6, "pad_inner_iterations": 8}),
 ]
 
 
