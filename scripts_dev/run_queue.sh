@@ -25,8 +25,8 @@ wait_tpu() {
   done
 }
 
-train_job() { # name config
-  local name=$1 config=$2
+train_job() { # name config [algo]
+  local name=$1 config=$2 algo=${3:-SAC}
   local dir=out/$name log=out/${name}_train.log
   if [ -f "$dir/QUEUE_DONE" ]; then say "$name already done"; return 0; fi
   local attempt
@@ -38,7 +38,7 @@ train_job() { # name config
     fi
     say "$name attempt $attempt $resume"
     nohup python -m deep_rl_grasping_tpu.training.train train \
-      --config "$config" --algo SAC --model_dir "$dir" $resume \
+      --config "$config" --algo "$algo" --model_dir "$dir" $resume \
       >> "$log" 2>&1 &
     local pid=$!
     echo "$pid" > /tmp/queue_job.pid
@@ -94,13 +94,12 @@ touch out/bdq_simplified/QUEUE_DONE
 eval_job bdq_simplified
 train_job sac_encoder_flagship configs/sac_encoder_flagship.yaml
 eval_job sac_encoder_flagship
-train_job sac_rgbd_flagship configs/sac_rgbd_flagship.yaml
-eval_job sac_rgbd_flagship
-train_job sac_table_clearing configs/sac_table_clearing.yaml
-eval_job sac_table_clearing
 # Physics-schedule cost/fidelity sweep on the chip (perf item: the solver
 # is ~94% of the env step; a fidelity-passing cheaper schedule is the next
 # throughput lever). Results in /tmp/queue_sweep.log for a human decision.
+# Ordered BEFORE the remaining bonus families: the perf headline (sweep +
+# 4096-env bench) outranks a third/fourth model family if the tunnel
+# window turns out short.
 if [ ! -f /tmp/queue_sweep.log ] || ! grep -q "expert" /tmp/queue_sweep.log; then
   wait_tpu
   say "physics-schedule sweep (1024 envs)"
@@ -112,4 +111,12 @@ wait_tpu
 say "bench (4096 envs)"
 timeout 3600 python bench.py > /tmp/queue_bench.log 2>&1
 say "bench result: $(tail -1 /tmp/queue_bench.log)"
+train_job sac_rgbd_flagship configs/sac_rgbd_flagship.yaml
+eval_job sac_rgbd_flagship
+train_job sac_table_clearing configs/sac_table_clearing.yaml
+eval_job sac_table_clearing
+# Bonus if time remains in the round: DQN on the simplified task
+# (reference DQN_4pads: 71.7% @ 4M frames) completes the value-based family.
+train_job dqn_simplified configs/dqn_simplified.yaml DQN
+eval_job dqn_simplified
 say "=== queue complete ==="
