@@ -100,17 +100,43 @@ eval_job sac_encoder_flagship
 # Ordered BEFORE the remaining bonus families: the perf headline (sweep +
 # 4096-env bench) outranks a third/fourth model family if the tunnel
 # window turns out short.
-if [ ! -f /tmp/queue_sweep.log ] || ! grep -q "expert" /tmp/queue_sweep.log; then
+if [ ! -f /tmp/queue_sweep.log ] || [ "$(grep -c 'expert' /tmp/queue_sweep.log)" -lt 8 ]; then
   wait_tpu
   say "physics-schedule sweep (1024 envs)"
   timeout 10800 python scripts_dev/physics_cost_sweep.py --envs 1024 --steps 120 \
     > /tmp/queue_sweep.log 2>&1
   say "sweep done: $(grep -c 'expert' /tmp/queue_sweep.log) variants measured"
 fi
+# Auto-apply the sweep verdict: flip the default configs to the cheapest
+# schedule whose scripted-expert rate held >=99% at lambda=0 AND lambda=1
+# on the chip (>=50 episodes each). CPU pre-check (/tmp/sweep_cpu.log)
+# already showed dt120/dt120it6pad8 at 100%/100%.
+BEST=$(python scripts_dev/pick_schedule.py /tmp/queue_sweep.log)
+say "schedule decision: $BEST"
+if [ "$BEST" != "default" ]; then
+  python scripts_dev/apply_schedule.py "$BEST" >> "$LOG" 2>&1
+fi
 wait_tpu
 say "bench (4096 envs)"
 timeout 3600 python bench.py > /tmp/queue_bench.log 2>&1
 say "bench result: $(tail -1 /tmp/queue_bench.log)"
+# Behavioral-parity check: re-run the flagship 100-episode protocol eval
+# with the NEW schedule grafted into the run snapshot — the trained policy
+# should still clear >=90% if the cheap schedule is behaviorally
+# equivalent where it matters. Recorded for TRAINING_NOTES; if it tanks,
+# revert the flip by hand (scripts_dev/apply_schedule.py revert).
+if [ "$BEST" != "default" ] && [ ! -f out/sched_parity/protocol_val.log ]; then
+  wait_tpu
+  say "flagship protocol re-eval under $BEST schedule"
+  rm -rf out/sched_parity
+  cp -r out/sac_full_flagship_r3b out/sched_parity
+  rm -f out/sched_parity/protocol_val.log out/sched_parity/protocol_test.log
+  python scripts_dev/apply_schedule.py "$BEST" \
+    --files out/sched_parity/config.yaml out/sched_parity/best_model/config.yaml >> "$LOG" 2>&1
+  timeout 3600 python -m deep_rl_grasping_tpu.training.train run \
+    --model out/sched_parity --best > out/sched_parity/protocol_val.log 2>&1
+  say "sched parity: $(grep -Ei 'success|mean' out/sched_parity/protocol_val.log | tail -2 | tr '\n' ' ')"
+fi
 train_job sac_rgbd_flagship configs/sac_rgbd_flagship.yaml
 eval_job sac_rgbd_flagship
 train_job sac_table_clearing configs/sac_table_clearing.yaml
@@ -119,4 +145,14 @@ eval_job sac_table_clearing
 # (reference DQN_4pads: 71.7% @ 4M frames) completes the value-based family.
 train_job dqn_simplified configs/dqn_simplified.yaml DQN
 eval_job dqn_simplified
+# Regression guard after a schedule flip: the statistical grasp-rate floor
+# test must still pass with the flipped flagship config (CPU, ~10 min;
+# runs LAST so it never contends with a live chip job on the 1-core VM).
+if [ "$BEST" != "default" ] && [ -n "$BEST" ]; then
+  say "grasp-rate floor test under $BEST (CPU)"
+  JAX_PLATFORMS=cpu timeout 3600 python -m pytest \
+    tests/test_grasping.py::test_scripted_expert_grasp_rate_floor \
+    -q -m "" > /tmp/queue_floor.log 2>&1
+  say "floor test: $(tail -1 /tmp/queue_floor.log)"
+fi
 say "=== queue complete ==="
