@@ -141,6 +141,9 @@ class GraspEnv:
 
         self.move_substeps = int(tpu.get("move_substeps", 24))
         self.gripper_substeps = int(tpu.get("gripper_substeps", 48))
+        # Env-batch lane-block size for the fused solver kernel (tuned
+        # on-chip via scripts_dev/kernel_bench.py; 128 = one vreg of lanes).
+        self.block_e = int(tpu.get("block_e", 128))
         self.encoder_fn = encoder_fn  # depth image (H,W,1) -> latent (D,)
         self.encoding_dim = int(config.get("encoding_dim", 100))
         # BDQ composite actions: one discrete bin per action dimension
@@ -544,21 +547,23 @@ class BatchedGraspEnv:
         sim, _cmd = jax.vmap(env._apply_action)(states.sim, actions)
 
         if env.simplified:
-            sim = solver_pallas.run_batched_sim(sim, params, env.move_substeps)
+            sim = solver_pallas.run_batched_sim(
+                sim, params, env.move_substeps, block_e=env.block_e
+            )
             sim, trigger, h = jax.vmap(env._simplified_trigger)(sim)
             sim = solver_pallas.run_batched_sim(
-                sim, params, env.gripper_substeps
+                sim, params, env.gripper_substeps, block_e=env.block_e
             )
             sim = jax.vmap(env._simplified_lift)(sim, trigger)
             sim = solver_pallas.run_batched_sim(
-                sim, params, 2 * env.move_substeps
+                sim, params, 2 * env.move_substeps, block_e=env.block_e
             )
             stepped, reward, status = jax.vmap(env._simplified_outcome_core)(
                 states, sim, trigger, h
             )
         else:
             sim = solver_pallas.run_batched_sim(
-                sim, params, env.gripper_substeps
+                sim, params, env.gripper_substeps, block_e=env.block_e
             )
             stepped, reward, status = jax.vmap(env._full_outcome_core)(
                 states, sim

@@ -32,7 +32,9 @@ SCHEDULES = {
     "revert": {},
 }
 SCHED_KEYS = {"dt", "gripper_substeps", "move_substeps",
-              "solver_iterations", "pad_inner_iterations"}
+              "solver_iterations", "pad_inner_iterations", "block_e"}
+KEY_ORDER = ("dt", "gripper_substeps", "move_substeps",
+             "solver_iterations", "pad_inner_iterations", "block_e")
 
 DEFAULT_FILES = [
     "configs/gripper_grasp.yaml",
@@ -55,8 +57,7 @@ def apply_to_file(path, variant, overrides):
             if overrides:
                 out.append("  # physics schedule '%s' — auto-applied after "
                            "the on-chip fidelity sweep\n" % variant)
-                for k in ("dt", "gripper_substeps", "move_substeps",
-                          "solver_iterations", "pad_inner_iterations"):
+                for k in KEY_ORDER:
                     if k in overrides:
                         v = overrides[k]
                         out.append("  %s: %s\n" % (k, repr(v) if isinstance(v, float) else v))
@@ -83,8 +84,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("variant", choices=sorted(SCHEDULES))
     p.add_argument("--files", nargs="+", default=DEFAULT_FILES)
+    p.add_argument("--extra", nargs="*", default=[],
+                   help="extra tpu keys, e.g. block_e=256")
     args = p.parse_args()
-    ov = SCHEDULES[args.variant]
+    ov = dict(SCHEDULES[args.variant])
+    for kv in args.extra:
+        k, v = kv.split("=", 1)
+        if k not in SCHED_KEYS:
+            sys.exit(f"unknown extra key {k}")
+        ov[k] = float(v) if "." in v else int(v)
     for path in args.files:
         if apply_to_file(path, args.variant, ov):
             print(f"{path}: schedule -> {args.variant or 'defaults'}")

@@ -113,8 +113,21 @@ fi
 # already showed dt120/dt120it6pad8 at 100%/100%.
 BEST=$(python scripts_dev/pick_schedule.py /tmp/queue_sweep.log)
 say "schedule decision: $BEST"
-if [ "$BEST" != "default" ]; then
-  python scripts_dev/apply_schedule.py "$BEST" >> "$LOG" 2>&1
+# Solver-kernel lane-block microbench at the bench batch: pick the fastest
+# block_e (tpu.block_e; 128 = one vreg of lanes, the prior default).
+if [ ! -f /tmp/queue_kernel.log ] || ! grep -q "block_e=" /tmp/queue_kernel.log; then
+  wait_tpu
+  say "solver kernel block_e microbench (4096 envs)"
+  timeout 3600 python scripts_dev/kernel_bench.py --batch 4096 \
+    --blocks 128,256,512,1024 > /tmp/queue_kernel.log 2>&1
+  say "kernel bench: $(grep -c 'block_e=' /tmp/queue_kernel.log) blocks measured"
+fi
+BE=$(python scripts_dev/pick_block.py /tmp/queue_kernel.log)
+say "block_e decision: $BE"
+if [ "$BEST" != "default" ] || [ "$BE" != "128" ]; then
+  VARIANT=$BEST
+  [ "$VARIANT" = "default" ] && VARIANT=revert
+  python scripts_dev/apply_schedule.py "$VARIANT" --extra "block_e=$BE" >> "$LOG" 2>&1
 fi
 wait_tpu
 say "bench (4096 envs)"
