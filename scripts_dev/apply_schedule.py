@@ -29,6 +29,9 @@ SCHEDULES = {
     "dt80it6pad8": {"dt": 1.0 / 80.0, "gripper_substeps": 16,
                     "move_substeps": 8, "solver_iterations": 6,
                     "pad_inner_iterations": 8},
+    "dt80it4pad6": {"dt": 1.0 / 80.0, "gripper_substeps": 16,
+                    "move_substeps": 8, "solver_iterations": 4,
+                    "pad_inner_iterations": 6},
     "revert": {},
 }
 SCHED_KEYS = {"dt", "gripper_substeps", "move_substeps",

@@ -52,6 +52,9 @@ VARIANTS = [
     ("dt80it6pad8  16ss/6it/8pad dt80",
      {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
       "solver_iterations": 6, "pad_inner_iterations": 8}),
+    ("dt80it4pad6  16ss/4it/6pad dt80",
+     {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
+      "solver_iterations": 4, "pad_inner_iterations": 6}),
 ]
 
 

@@ -201,6 +201,7 @@ class TestApplySchedule:
         import importlib
         ap = importlib.import_module("apply_schedule")
         sweep_names = ["pad8", "it6pad8", "it4pad8", "dt120",
-                       "dt120it6pad8", "dt120it4pad6", "dt80it6pad8"]
+                       "dt120it6pad8", "dt120it4pad6", "dt80it6pad8",
+                       "dt80it4pad6"]
         for n in sweep_names:
             assert n in ap.SCHEDULES, n
