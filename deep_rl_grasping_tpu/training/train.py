@@ -41,12 +41,16 @@ import numpy as np
 
 # Persistent XLA compilation cache: the fused env-step program costs minutes
 # to compile (remote TPU or CPU); warm restarts of the same config are
-# near-instant. Override location with JAX_CACHE_DIR.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_grasp_tpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# near-instant. Override location with JAX_CACHE_DIR; CPU runs get a
+# host-fingerprinted dir (utils/jax_cache.py — stale AOT entries segfault
+# after a VM host migration).
+from deep_rl_grasping_tpu.utils import jax_cache
+
+if os.environ.get("JAX_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax_cache.setup()
 
 from deep_rl_grasping_tpu.training import callbacks as cb
 from deep_rl_grasping_tpu.utils import config as cfg_util

@@ -1,8 +1,8 @@
 import sys; sys.path.insert(0, '/root/repo')
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 import jax.numpy as jnp, numpy as np
 from deep_rl_grasping_tpu.sim import objects, physics, scene
 from deep_rl_grasping_tpu.sim.types import *

@@ -12,8 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 p = argparse.ArgumentParser()
 p.add_argument("--batch", type=int, default=4096)

@@ -10,8 +10,8 @@ Usage: python scripts_dev/perf_probe.py [--envs 4096] [--iters 30]
 import sys, os, time, argparse
 sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 p = argparse.ArgumentParser()
 p.add_argument('--envs', type=int, default=4096)

@@ -18,8 +18,8 @@ if os.environ.get("JAX_PLATFORMS"):
     # fidelity half is platform-independent; allow JAX_PLATFORMS=cpu runs
     # while the tunnel is down (timing numbers are then CPU-only, ignore)
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 p = argparse.ArgumentParser()
 p.add_argument('--envs', type=int, default=1024)

@@ -13,8 +13,8 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 import argparse
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 p = argparse.ArgumentParser()
 p.add_argument('--envs', type=int, default=64)

@@ -10,8 +10,8 @@ import sys, os
 sys.path.insert(0, '/root/repo')
 import argparse
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from deep_rl_grasping_tpu.utils import jax_cache
+jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 p = argparse.ArgumentParser()
 p.add_argument('--noise', type=float, default=0.1)

@@ -21,8 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the env step program is large; caching makes
-# repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_grasp_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# repeated test runs fast. Host-fingerprinted dir — XLA:CPU AOT entries
+# SIGSEGV when loaded on a different host (utils/jax_cache.py).
+from deep_rl_grasping_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.setup(cpu=True)
 
 assert jax.default_backend() == "cpu", "tests must not run through the TPU tunnel"
