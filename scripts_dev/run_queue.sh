@@ -100,10 +100,10 @@ eval_job sac_encoder_flagship
 # Ordered BEFORE the remaining bonus families: the perf headline (sweep +
 # 4096-env bench) outranks a third/fourth model family if the tunnel
 # window turns out short.
-if [ ! -f /tmp/queue_sweep.log ] || [ "$(grep -c 'expert' /tmp/queue_sweep.log)" -lt 9 ]; then
+if [ ! -f /tmp/queue_sweep.log ] || [ "$(grep -c 'expert' /tmp/queue_sweep.log)" -lt 6 ]; then
   wait_tpu
   say "physics-schedule sweep (1024 envs)"
-  timeout 10800 python scripts_dev/physics_cost_sweep.py --envs 1024 --steps 120 \
+  timeout 10800 python scripts_dev/physics_cost_sweep.py --envs 1024 --steps 120 --only dt \
     > /tmp/queue_sweep.log 2>&1
   say "sweep done: $(grep -c 'expert' /tmp/queue_sweep.log) variants measured"
 fi
