@@ -124,7 +124,11 @@ def render(
     gripper_id = (K + 3) if params.has_tray else (K + 1)
     obj_id0 = 3 if params.has_tray else 1
 
-    ts, ids, shades, colors = [], [], [], []
+    # Colors are resolved AFTER the depth argmin through an id-indexed LUT:
+    # a (HW, P, 3) per-pixel-per-primitive color buffer is pure waste (it
+    # OOM'd HBM at 128 envs x chunked train step) since every primitive's
+    # color is a function of its segmentation id alone.
+    ts, ids, shades = [], [], []
 
     def headlight(n_world):
         # Lambert w.r.t. the viewing direction (headlight at the camera).
@@ -141,14 +145,11 @@ def render(
             jnp.abs(hit[:, 1]) < params.tray_half
         )
         plane_ids = jnp.where(in_tray, 2, 1)
-        plane_col = jnp.where(in_tray[:, None], TRAY_COLOR[None], SURFACE_COLOR[None])
     else:
         plane_ids = jnp.zeros(HW, jnp.int32)
-        plane_col = jnp.broadcast_to(SURFACE_COLOR, (HW, 3))
     ts.append(jnp.where(v_p, t_p, jnp.inf)[:, None])
     ids.append(plane_ids[:, None])
     shades.append(headlight(jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (HW, 3)))[:, None])
-    colors.append(plane_col[:, None, :])
 
     # --- objects (sphere compounds) ---
     centers, radii, smask = physics.world_spheres(state, params)
@@ -159,7 +160,6 @@ def render(
     hit_s = o[None, None] + t_s[..., None] * d[:, None, :]
     n_s = (hit_s - flat_c[None]) / jnp.maximum(flat_r[None, :, None], 1e-9)
     slot = jnp.repeat(jnp.arange(K), radii.shape[1])
-    col_s = params.color[state.objects.obj_type][slot]  # (K*S, 3)
     ts.append(jnp.where(v_s, t_s, jnp.inf))
     ids.append(jnp.broadcast_to((obj_id0 + slot)[None], (HW, slot.shape[0])))
     sh = 0.35 + 0.65 * jnp.clip(
@@ -169,7 +169,6 @@ def render(
         1.0,
     )
     shades.append(sh)
-    colors.append(jnp.broadcast_to(col_s[None], (HW,) + col_s.shape))
 
     # --- gripper boxes ---
     base, Rg, pads, axes = physics.pad_frames(state.gripper.q)
@@ -183,7 +182,6 @@ def render(
         ts.append(jnp.where(v_b, t_b, jnp.inf)[:, None])
         ids.append(jnp.full((HW, 1), gripper_id, jnp.int32))
         shades.append(headlight(n_b)[:, None])
-        colors.append(jnp.broadcast_to(GRIPPER_COLOR, (HW, 1, 3)))
 
     # --- tray walls ---
     if params.has_tray:
@@ -206,12 +204,10 @@ def render(
             ts.append(jnp.where(v_w, t_w, jnp.inf)[:, None])
             ids.append(jnp.full((HW, 1), 2, jnp.int32))
             shades.append(headlight(n_w)[:, None])
-            colors.append(jnp.broadcast_to(TRAY_COLOR, (HW, 1, 3)))
 
     t_all = jnp.concatenate(ts, axis=1)  # (HW, P)
     id_all = jnp.concatenate(ids, axis=1)
     sh_all = jnp.concatenate(shades, axis=1)
-    col_all = jnp.concatenate(colors, axis=1)
 
     t_clipped = jnp.where(t_all < near, jnp.inf, t_all)
     best = jnp.argmin(t_clipped, axis=1)
@@ -221,8 +217,19 @@ def render(
     # No-hit: reference depth saturates at far; mask id -1 (pybullet convention)
     mask = jnp.where(no_hit, -1, take(id_all))
     shade = jnp.where(no_hit, 0.0, take(sh_all))
-    rgb = jnp.take_along_axis(col_all, best[:, None, None].repeat(3, -1), 1)[:, 0, :]
-    rgb = rgb * shade[:, None]
+    # id -> color LUT (seg ids fully determine color; see note above).
+    obj_cols = params.color[state.objects.obj_type]  # (K, 3)
+    if params.has_tray:
+        # ids: 1 surface, 2 tray (floor-in-tray + walls), 3..K+2 objects,
+        # K+3 gripper (index 0 unused).
+        lut = jnp.concatenate(
+            [SURFACE_COLOR[None], SURFACE_COLOR[None], TRAY_COLOR[None],
+             obj_cols, GRIPPER_COLOR[None]], axis=0)
+    else:
+        # ids: 0 surface, 1..K objects, K+1 gripper.
+        lut = jnp.concatenate(
+            [SURFACE_COLOR[None], obj_cols, GRIPPER_COLOR[None]], axis=0)
+    rgb = lut[jnp.maximum(mask, 0)] * shade[:, None]
     return (
         rgb.reshape(height, width, 3),
         depth.reshape(height, width),
