@@ -43,9 +43,17 @@ def masked_depth(env: GraspEnv, state):
     return img
 
 
-def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20):
+def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20,
+            keep_task=False):
     cfg = cfg_util.load_config(config)
-    cfg["simplified"] = True  # collection uses the descend policy's env
+    if not keep_task:
+        # Default (reference scripts/collect_dataset.py parity): descend-policy
+        # env. For encoder-latent training on the FULL task pass keep_task=True
+        # so the images cover the full task's scene statistics (spawn heights,
+        # object counts) — an AE trained on simplified-task images produces
+        # out-of-distribution latents on the full task (TRAINING_NOTES.md,
+        # sac_encoder_flagship_v1 failure diagnosis).
+        cfg["simplified"] = True
     cfg["robot"]["discrete"] = False  # random continuous exploration policy
     env = GraspEnv(cfg)
     benv = BatchedGraspEnv(env, num_envs)
