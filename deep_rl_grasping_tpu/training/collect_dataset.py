@@ -44,7 +44,7 @@ def masked_depth(env: GraspEnv, state):
 
 
 def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20,
-            keep_task=False):
+            keep_task=False, mix_lambda=False):
     cfg = cfg_util.load_config(config)
     if not keep_task:
         # Default (reference scripts/collect_dataset.py parity): descend-policy
@@ -58,18 +58,17 @@ def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20,
     env = GraspEnv(cfg)
     benv = BatchedGraspEnv(env, num_envs)
     curriculum = benv.init_curriculum()
-    lam = jnp.asarray(1.0)  # full-difficulty scenes for diverse images
 
     # Host loop over steps (a scan stacking per-step image batches trips an
     # XLA memory-space-assignment crash on the TPU compiler in this image).
     @jax.jit
-    def reset_batch(key):
+    def reset_batch(key, lam):
         keys = jax.random.split(key, num_envs)
         states, _ = jax.vmap(lambda k: env.reset(k, lam))(keys)
         return states
 
     @jax.jit
-    def step_collect(states, k):
+    def step_collect(states, k, lam):
         acts = jax.random.uniform(
             k, (num_envs, env.action_dim), minval=-1.0, maxval=1.0
         )
@@ -83,11 +82,17 @@ def collect(config, n_images, num_envs=128, seed=0, steps_per_reset=20,
     total = 0
     key = jax.random.PRNGKey(seed)
     while total < n_images:
-        key, kr = jax.random.split(key)
-        states = reset_batch(kr)
+        key, kr, kl = jax.random.split(key, 3)
+        # mix_lambda: sample a curriculum difficulty per reset so the dataset
+        # covers the whole image distribution the agent sees from lambda=0
+        # (objects centered under the gripper, min spawn height) through
+        # lambda=1 (scattered piles, full height range). Training-time latents
+        # are only as good as the AE's coverage of the visited states.
+        lam = jax.random.uniform(kl) if mix_lambda else jnp.asarray(1.0)
+        states = reset_batch(kr, lam)
         for _ in range(steps_per_reset):
             key, ka = jax.random.split(key)
-            states, imgs = step_collect(states, ka)
+            states, imgs = step_collect(states, ka, lam)
             out.append(np.asarray(imgs))
             total += imgs.shape[0]
         print(f"collected {total}/{n_images}")
@@ -101,9 +106,16 @@ def main(argv=None):
     p.add_argument("--train", type=int, default=18000)
     p.add_argument("--test", type=int, default=2000)
     p.add_argument("--num_envs", type=int, default=128)
+    p.add_argument("--keep_task", action="store_true",
+                   help="keep the config's task (no simplified override); use "
+                        "for full-task AE datasets")
+    p.add_argument("--mix_lambda", action="store_true",
+                   help="sample curriculum difficulty per reset instead of "
+                        "pinning lambda=1")
     args = p.parse_args(argv)
 
-    imgs = collect(args.config, args.train + args.test, args.num_envs)
+    imgs = collect(args.config, args.train + args.test, args.num_envs,
+                   keep_task=args.keep_task, mix_lambda=args.mix_lambda)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     np.savez_compressed(
         args.out,

@@ -16,7 +16,13 @@ from __future__ import annotations
 import hashlib
 import os
 
-TPU_DIR = "/tmp/jax_cache_grasp_tpu"
+# TPU executables are host-portable, so the TPU cache lives in the repo —
+# /tmp is wiped when the VM migrates hosts, and a cold compile of the full
+# fused train step costs tens of minutes on this 1-core host.
+TPU_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache_tpu",
+)
 
 
 def host_fingerprint() -> str:
