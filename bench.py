@@ -67,7 +67,11 @@ def bench_collect(num_envs, iters):
         return states, obs, cur, rs.sum()
 
     states, obs = jax.jit(benv.reset)(k_env, curriculum)
-    n_inner = 5
+    # 25 env steps per device call: the remote-tunnel dispatch costs tens of
+    # ms per call, which at n_inner=5 left the chip idle ~30% of the wall
+    # time (trace 2026_08_18: device-side 42.2 ms/step = 96k steps/s vs
+    # 69.7k measured). Longer chunks amortize it to noise.
+    n_inner = int(os.environ.get("BENCH_CHUNK", "25"))
     # Two warmups: the first compiles the reset-sourced signature, the
     # second the rollout-sourced one (weak-type differences would otherwise
     # retrace on every timed call).
@@ -124,7 +128,7 @@ def bench_train(iters):
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     collect = bench_collect(num_envs, iters)
     train = bench_train(max(iters // 2, 3))
     print(

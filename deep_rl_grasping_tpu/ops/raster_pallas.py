@@ -41,126 +41,133 @@ def _raster_kernel(
     box_c_ref, box_R_ref,
     cam_o_ref, cam_R_ref, intr_ref,
     depth_ref, seg_ref,
-    *, H, W, P, num_boxes, box_he, box_ids,
+    *, PH, PW, W, E, P, num_boxes, box_he, box_ids,
     plane_z, near, far, plane_seg_mode, tray_half, walls,
 ):
-    # ---- rays ---------------------------------------------------------
-    fx = intr_ref[0, 0, 0]
-    fy = intr_ref[0, 0, 1]
-    cx = intr_ref[0, 0, 2]
-    cy = intr_ref[0, 0, 3]
-    # iota must be integer-typed on TPU; cast after.
-    u = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
-        + 0.5 - cx
-    ) / fx
-    v = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
-        + 0.5 - cy
-    ) / fy
-    R = cam_R_ref[0]  # (3,3) cam->world
-    # world ray dirs; ray parameter t == camera-frame Z (z_cam=1 rays)
-    dx = R[0, 0] * u + R[0, 1] * v + R[0, 2]
-    dy = R[1, 0] * u + R[1, 1] * v + R[1, 2]
-    dz = R[2, 0] * u + R[2, 1] * v + R[2, 2]
-    ox = cam_o_ref[0, 0, 0]
-    oy = cam_o_ref[0, 0, 1]
-    oz = cam_o_ref[0, 0, 2]
+    # Pixels are packed (PH, PW) with PW=128 (one full vreg of lanes; the
+    # natural (64, 64) layout leaves half the VPU idle), and E envs render
+    # per grid step to amortize the per-step DMA/loop overhead. Pixel
+    # coordinates are recovered from the linear index.
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 0) * PW
+        + jax.lax.broadcasted_iota(jnp.int32, (PH, PW), 1)
+    )
+    px = (lin % W).astype(jnp.float32)
+    py = (lin // W).astype(jnp.float32)
 
-    best_t = jnp.full((H, W), jnp.inf, jnp.float32)
-    best_id = jnp.full((H, W), -1, jnp.int32)
+    for e in range(E):
+        # ---- rays -------------------------------------------------------
+        fx = intr_ref[e, 0, 0]
+        fy = intr_ref[e, 0, 1]
+        cx = intr_ref[e, 0, 2]
+        cy = intr_ref[e, 0, 3]
+        u = (px + 0.5 - cx) / fx
+        v = (py + 0.5 - cy) / fy
+        R = cam_R_ref[e]  # (3,3) cam->world
+        # world ray dirs; ray parameter t == camera-frame Z (z_cam=1 rays)
+        dx = R[0, 0] * u + R[0, 1] * v + R[0, 2]
+        dy = R[1, 0] * u + R[1, 1] * v + R[1, 2]
+        dz = R[2, 0] * u + R[2, 1] * v + R[2, 2]
+        ox = cam_o_ref[e, 0, 0]
+        oy = cam_o_ref[e, 0, 1]
+        oz = cam_o_ref[e, 0, 2]
 
-    # ---- support plane --------------------------------------------------
-    dz_safe = jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
-    t_p = (plane_z - oz) / dz_safe
-    valid = (t_p > near) & (t_p < far)
-    if plane_seg_mode == "table":
-        hx = ox + t_p * dx
-        hy = oy + t_p * dy
-        in_tray = (jnp.abs(hx) < tray_half) & (jnp.abs(hy) < tray_half)
-        pid = jnp.where(in_tray, 2, 1)
-    else:
-        pid = jnp.zeros((H, W), jnp.int32)
-    take = valid & (t_p < best_t)
-    best_t = jnp.where(take, t_p, best_t)
-    best_id = jnp.where(take, pid, best_id)
+        best_t = jnp.full((PH, PW), jnp.inf, jnp.float32)
+        best_id = jnp.full((PH, PW), -1, jnp.int32)
 
-    # ---- spheres (loop over primitive slots) ----------------------------
-    a = dx * dx + dy * dy + dz * dz
+        # ---- support plane ----------------------------------------------
+        dz_safe = jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+        t_p = (plane_z - oz) / dz_safe
+        valid = (t_p > near) & (t_p < far)
+        if plane_seg_mode == "table":
+            hx = ox + t_p * dx
+            hy = oy + t_p * dy
+            in_tray = (jnp.abs(hx) < tray_half) & (jnp.abs(hy) < tray_half)
+            pid = jnp.where(in_tray, 2, 1)
+        else:
+            pid = jnp.zeros((PH, PW), jnp.int32)
+        take = valid & (t_p < best_t)
+        best_t = jnp.where(take, t_p, best_t)
+        best_id = jnp.where(take, pid, best_id)
 
-    # Static unroll over primitive slots: Mosaic cannot prove alignment of
-    # dynamic lane-indexed scalar loads, and P is small (K*S ~ 40).
-    for i in range(P):
-        cxs = sph_c_ref[0, i, 0]
-        cys = sph_c_ref[0, i, 1]
-        czs = sph_c_ref[0, i, 2]
-        r = sph_r_ref[0, 0, i]
-        ocx = ox - cxs
-        ocy = oy - cys
-        ocz = oz - czs
-        b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
-        c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b * b - 4.0 * a * c0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = (-b - sq) / (2.0 * a)
-        ok = (disc > 0) & (t > near) & (r > 0) & (t < best_t)
-        best_t = jnp.where(ok, t, best_t)
-        best_id = jnp.where(ok, sph_id_ref[0, 0, i], best_id)
+        # ---- spheres (loop over primitive slots) ------------------------
+        a = dx * dx + dy * dy + dz * dz
 
-    # ---- gripper boxes (slab test, unrolled; shared rotation) -----------
-    Rg = box_R_ref[0]  # (3,3) box-to-world
+        # Static unroll over primitive slots: Mosaic cannot prove alignment
+        # of dynamic lane-indexed scalar loads, and P is small (K*S ~ 40).
+        for i in range(P):
+            cxs = sph_c_ref[e, i, 0]
+            cys = sph_c_ref[e, i, 1]
+            czs = sph_c_ref[e, i, 2]
+            r = sph_r_ref[e, 0, i]
+            ocx = ox - cxs
+            ocy = oy - cys
+            ocz = oz - czs
+            b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+            c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - 4.0 * a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = (-b - sq) / (2.0 * a)
+            ok = (disc > 0) & (t > near) & (r > 0) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_id = jnp.where(ok, sph_id_ref[e, 0, i], best_id)
 
-    for bi in range(num_boxes):
-        hex_, hey, hez = box_he[bi]
-        bcx = box_c_ref[0, bi, 0]
-        bcy = box_c_ref[0, bi, 1]
-        bcz = box_c_ref[0, bi, 2]
-        # origin/dir in box frame (R^T @ v)
-        rox = Rg[0, 0] * (ox - bcx) + Rg[1, 0] * (oy - bcy) + Rg[2, 0] * (oz - bcz)
-        roy = Rg[0, 1] * (ox - bcx) + Rg[1, 1] * (oy - bcy) + Rg[2, 1] * (oz - bcz)
-        roz = Rg[0, 2] * (ox - bcx) + Rg[1, 2] * (oy - bcy) + Rg[2, 2] * (oz - bcz)
-        rdx = Rg[0, 0] * dx + Rg[1, 0] * dy + Rg[2, 0] * dz
-        rdy = Rg[0, 1] * dx + Rg[1, 1] * dy + Rg[2, 1] * dz
-        rdz = Rg[0, 2] * dx + Rg[1, 2] * dy + Rg[2, 2] * dz
+        # ---- gripper boxes (slab test, unrolled; shared rotation) -------
+        Rg = box_R_ref[e]  # (3,3) box-to-world
 
-        def slab(o1, d1, he):
-            d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
-            ta = (-he - o1) / d_safe
-            tb = (he - o1) / d_safe
-            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+        for bi in range(num_boxes):
+            hex_, hey, hez = box_he[bi]
+            bcx = box_c_ref[e, bi, 0]
+            bcy = box_c_ref[e, bi, 1]
+            bcz = box_c_ref[e, bi, 2]
+            # origin/dir in box frame (R^T @ v)
+            rox = Rg[0, 0] * (ox - bcx) + Rg[1, 0] * (oy - bcy) + Rg[2, 0] * (oz - bcz)
+            roy = Rg[0, 1] * (ox - bcx) + Rg[1, 1] * (oy - bcy) + Rg[2, 1] * (oz - bcz)
+            roz = Rg[0, 2] * (ox - bcx) + Rg[1, 2] * (oy - bcy) + Rg[2, 2] * (oz - bcz)
+            rdx = Rg[0, 0] * dx + Rg[1, 0] * dy + Rg[2, 0] * dz
+            rdy = Rg[0, 1] * dx + Rg[1, 1] * dy + Rg[2, 1] * dz
+            rdz = Rg[0, 2] * dx + Rg[1, 2] * dy + Rg[2, 2] * dz
 
-        lo1, hi1 = slab(rox, rdx, hex_)
-        lo2, hi2 = slab(roy, rdy, hey)
-        lo3, hi3 = slab(roz, rdz, hez)
-        tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
-        tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
-        t = jnp.where(tmin > 0, tmin, tmax)
-        ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
-        best_t = jnp.where(ok, t, best_t)
-        best_id = jnp.where(ok, box_ids[bi], best_id)
+            def slab(o1, d1, he):
+                d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
+                ta = (-he - o1) / d_safe
+                tb = (he - o1) / d_safe
+                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
 
-    # ---- tray walls (axis-aligned slabs, static geometry; id 2 like the
-    # tray floor — mirrors render/raycast.py:192-209) --------------------
-    for (wcx, wcy, wcz, whx, why, whz) in walls:
+            lo1, hi1 = slab(rox, rdx, hex_)
+            lo2, hi2 = slab(roy, rdy, hey)
+            lo3, hi3 = slab(roz, rdz, hez)
+            tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
+            tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
+            t = jnp.where(tmin > 0, tmin, tmax)
+            ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_id = jnp.where(ok, box_ids[bi], best_id)
 
-        def wslab(o1, d1, c1, he):
-            d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
-            ta = (-he - (o1 - c1)) / d_safe
-            tb = (he - (o1 - c1)) / d_safe
-            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+        # ---- tray walls (axis-aligned slabs, static geometry; id 2 like
+        # the tray floor — mirrors render/raycast.py:192-209) -------------
+        for (wcx, wcy, wcz, whx, why, whz) in walls:
 
-        lo1, hi1 = wslab(ox, dx, wcx, whx)
-        lo2, hi2 = wslab(oy, dy, wcy, why)
-        lo3, hi3 = wslab(oz, dz, wcz, whz)
-        tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
-        tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
-        t = jnp.where(tmin > 0, tmin, tmax)
-        ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
-        best_t = jnp.where(ok, t, best_t)
-        best_id = jnp.where(ok, 2, best_id)
+            def wslab(o1, d1, c1, he):
+                d_safe = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
+                ta = (-he - (o1 - c1)) / d_safe
+                tb = (he - (o1 - c1)) / d_safe
+                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
 
-    depth_ref[0] = jnp.minimum(jnp.where(jnp.isfinite(best_t), best_t, far), far)
-    seg_ref[0] = best_id
+            lo1, hi1 = wslab(ox, dx, wcx, whx)
+            lo2, hi2 = wslab(oy, dy, wcy, why)
+            lo3, hi3 = wslab(oz, dz, wcz, whz)
+            tmin = jnp.maximum(jnp.maximum(lo1, lo2), lo3)
+            tmax = jnp.minimum(jnp.minimum(hi1, hi2), hi3)
+            t = jnp.where(tmin > 0, tmin, tmax)
+            ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_id = jnp.where(ok, 2, best_id)
+
+        depth_ref[e] = jnp.minimum(
+            jnp.where(jnp.isfinite(best_t), best_t, far), far
+        )
+        seg_ref[e] = best_id
 
 
 @functools.partial(
@@ -182,6 +189,15 @@ def raster_depth_seg(
     box_he = (PAD_HALF_EXTENTS, PAD_HALF_EXTENTS, BASE_HALF_EXTENTS)[:num_boxes]
     box_ids = tuple([gripper_id] * num_boxes)
 
+    # Pixel packing: (H*W) -> (PH, 128) fills all VPU lanes (a (64, 64)
+    # image block wastes half of each 128-lane vreg). E envs per grid step
+    # amortize the per-step overhead; fall back gracefully for small/odd B.
+    if (H * W) % 128 == 0:
+        PH, PW = (H * W) // 128, 128
+    else:
+        PH, PW = H, W
+    E = next(e for e in (4, 2, 1) if B % e == 0)
+
     # Tray wall OBBs are world-axis-aligned and static per scene type:
     # (cx, cy, cz, hx, hy, hz), matching render/raycast.py:192-204.
     if plane_seg_mode == "table":
@@ -198,27 +214,27 @@ def raster_depth_seg(
 
     kernel = functools.partial(
         _raster_kernel,
-        H=H, W=W, P=P, num_boxes=num_boxes, box_he=box_he, box_ids=box_ids,
-        plane_z=plane_z, near=near, far=far,
+        PH=PH, PW=PW, W=W, E=E, P=P, num_boxes=num_boxes, box_he=box_he,
+        box_ids=box_ids, plane_z=plane_z, near=near, far=far,
         plane_seg_mode=plane_seg_mode, tray_half=tray_half, walls=walls,
     )
-    grid = (B,)
+    grid = (B // E,)
     # 2D per-env inputs carry a singleton middle axis: Mosaic requires the
     # last two block dims to be tile-aligned OR equal to the full array
-    # dims, and a (1, P) block over (B, P) violates that for the batch dim.
+    # dims, and a (E, P) block over (B, P) violates that for the batch dim.
     in_specs = [
-        pl.BlockSpec((1, P, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, num_boxes, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, P, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, num_boxes, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 1, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, PH, PW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, PH, PW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     )
     depth, seg = pl.pallas_call(
         kernel,
@@ -226,8 +242,8 @@ def raster_depth_seg(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, PH, PW), jnp.float32),
+            jax.ShapeDtypeStruct((B, PH, PW), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -235,7 +251,7 @@ def raster_depth_seg(
         box_centers, box_R, cam_origin[:, None], cam_R,
         intrinsics[:, None],
     )
-    return depth, seg
+    return depth.reshape(B, H, W), seg.reshape(B, H, W)
 
 
 def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,

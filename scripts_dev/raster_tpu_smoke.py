@@ -1,0 +1,56 @@
+"""TPU smoke for the packed-lane raster kernel: compile + run on the real
+chip and compare against interpret mode on identical inputs.
+
+Blocks until the chip is free (the axon tunnel admits one process), then
+takes ~1 min. Writes PASS/FAIL to stdout.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_rl_grasping_tpu.ops.raster_pallas import raster_depth_seg
+
+
+def main():
+    B, P = 128, 40
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    sph_c = jax.random.uniform(ks[0], (B, P, 3), minval=-0.1, maxval=0.1)
+    sph_c = sph_c.at[..., 2].add(-0.15)
+    sph_r = jax.random.uniform(ks[1], (B, P), minval=0.005, maxval=0.02)
+    sph_id = jnp.broadcast_to(3 + jnp.arange(P, dtype=jnp.int32) // 8, (B, P))
+    box_c = jax.random.uniform(ks[2], (B, 3, 3), minval=-0.05, maxval=0.05)
+    eye = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    cam_o = jnp.zeros((B, 3)).at[:, 2].set(0.1)
+    # camera looking straight down: R maps cam z to world -z
+    cam_R = jnp.broadcast_to(
+        jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]]), (B, 3, 3)
+    )
+    intr = jnp.broadcast_to(jnp.array([69.76, 69.76, 32.0, 32.0]), (B, 4))
+
+    args = (sph_c, sph_r, sph_id, box_c, eye, cam_o, cam_R, intr)
+    kw = dict(plane_seg_mode="table", plane_z=-0.196)
+    d_tpu, s_tpu = raster_depth_seg(*args, **kw)
+    d_tpu, s_tpu = np.asarray(d_tpu), np.asarray(s_tpu)
+    d_int, s_int = raster_depth_seg(*args, **kw, interpret=True)
+    d_int, s_int = np.asarray(d_int), np.asarray(s_int)
+
+    dmax = float(np.abs(d_tpu - d_int).max())
+    smis = int((s_tpu != s_int).sum())
+    frac = smis / s_tpu.size
+    ok = dmax < 1e-4 and frac < 1e-3
+    print(f"depth max abs diff {dmax:.2e}; seg mismatch {smis} ({frac:.2e})")
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
