@@ -23,6 +23,58 @@ from deep_rl_grasping_tpu.sim import physics
 from deep_rl_grasping_tpu.sim.types import PAD_CENTER_DEPTH, PAD_HALF_EXTENTS
 
 
+def _yaw_align(env, state, k):
+    """Yaw action in [-1, 1] aligning the pinch axis with the target
+    object's minor horizontal axis; also returns the physical error.
+
+    The diversified random_urdfs stand-ins (sim/objects.py) include rods
+    and plates whose long axis must lie BETWEEN the pads: the pinch axis
+    (gripper local x, physics.pad_frames) has to be perpendicular to the
+    object's horizontal major axis. The major axis comes from the
+    radius^3-weighted second moment of the object's world-frame sphere
+    centers; round compounds (anisotropy below the gate) get no yaw
+    command, preserving the round-3 expert behavior on blobs/blocks.
+
+    The servo feedback variable is the COMMANDED yaw (-ee_angle,
+    grasp_env._compose_move_target) — the physical joint q[3] lags its
+    position servo, and feeding the lagging value back while commands
+    accumulate in ee_angle is integrator windup (measured: envs with a
+    large initial error oscillated at the action limit forever and never
+    passed the alignment gate). The physical error is returned separately
+    for the grasp-quality gate.
+
+    Returns:
+      (dyaw_action in [-1, 1], physical alignment error in radians)
+    """
+    centers, radii, mask = physics.world_spheres(state.sim, env.sim_params)
+    c = centers[k, :, :2]
+    r = radii[k]
+    w = mask[k].astype(jnp.float32) * r**3
+    wsum = jnp.maximum(w.sum(), 1e-9)
+    mu = (w[:, None] * c).sum(0) / wsum
+    d = c - mu
+    cov = (w[:, None, None] * (d[:, :, None] * d[:, None, :])).sum(0) / wsum
+    # Solid-sphere self-covariance enters the trace only: it shrinks the
+    # anisotropy ratio for big-sphere compounds without moving the axis.
+    self_tr = 2.0 * (w * r**2 / 5.0).sum() / wsum
+    gap = jnp.hypot(cov[0, 0] - cov[1, 1], 2.0 * cov[0, 1])
+    aniso = gap / jnp.maximum(cov[0, 0] + cov[1, 1] + self_tr, 1e-12)
+    theta_maj = 0.5 * jnp.arctan2(2.0 * cov[0, 1], cov[0, 0] - cov[1, 1])
+    # Pinch perpendicular to the major axis; symmetric mod pi.
+    want = theta_maj + jnp.pi / 2.0
+
+    def wrap(e):  # wrap to [-pi/2, pi/2): the pinch is symmetric mod pi
+        return jnp.mod(e + jnp.pi / 2.0, jnp.pi) - jnp.pi / 2.0
+
+    isotropic = aniso <= 0.15
+    perr = jnp.where(isotropic, 0.0, wrap(want - state.sim.gripper.q[3]))
+    cerr = jnp.where(
+        isotropic, 0.0, wrap(want + state.sim.gripper.ee_angle)
+    )
+    act = jnp.clip(-cerr / env.actuator_spec.max_yaw_rotation, -1.0, 1.0)
+    return act, perr
+
+
 def scripted_full_action(env, state, key, noise=0.1, p_random=0.1):
     """Expert action for the full 5-d continuous task.
 
@@ -66,7 +118,15 @@ def scripted_full_action(env, state, key, noise=0.1, p_random=0.1):
     empty_closed = closed & (width <= 0.005)
     holding = closed & ~empty_closed
 
-    do_close = (~closed) & near_xy & low
+    # Only close once the pinch axis is physically aligned with the
+    # object's minor axis — a misaligned close on a rod/plate just squeezes
+    # its long axis and pops it out. Descent is NOT gated on alignment:
+    # the yaw servo converges during the descent, and stalling the
+    # approach just burns the time horizon.
+    yaw_act, yaw_perr = _yaw_align(env, state, k)
+    dyaw = jnp.where(closed, 0.0, yaw_act)
+    aligned = jnp.abs(yaw_perr) < 0.25  # rad (~14 deg) physical error
+    do_close = (~closed) & near_xy & low & aligned
     oc = jnp.where(do_close, -1.0, jnp.where(empty_closed, 1.0, 0.0))
     dz = jnp.where(holding, -1.0, jnp.where(near_xy, 1.0, 0.0))
     dx = jnp.where(closed, 0.0, dx)
@@ -82,7 +142,7 @@ def scripted_full_action(env, state, key, noise=0.1, p_random=0.1):
     engaged = closed | near_xy
     k_n, k_r, k_p = jax.random.split(key, 3)
     eff_noise = jnp.where(engaged, 0.0, noise)
-    move = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)])
+    move = jnp.stack([dx, dy, dz, dyaw])
     move = jnp.clip(
         move + eff_noise * jax.random.normal(k_n, (4,)), -1.0, 1.0
     )
@@ -147,7 +207,8 @@ def scripted_simplified_action(env, state, key, noise=0.15, p_random=0.1):
         [
             jnp.clip(ldx / mt, -1.0, 1.0),
             jnp.clip(ldy / mt, -1.0, 1.0),
-            jnp.zeros(()),
+            # Align the pinch axis while auto-descending (rods/plates).
+            _yaw_align(env, state, k)[0],
         ]
     )
     k_n, k_r, k_p = jax.random.split(key, 3)

@@ -97,11 +97,76 @@ def _block_geometry(name, s):
 def _random_object_geometry(rng, s):
     """Procedural stand-in for one `random_urdfs` object.
 
-    The real dataset (gitignored in the reference, sourced from pybullet_data)
-    is a set of small scanned household objects ~3-10 cm across. We generate a
-    random blobby compound: a primary axis of overlapping spheres plus random
-    satellite spheres, uniformly scaled into the same size band.
+    The real dataset (gitignored in the reference, sourced from pybullet_data;
+    sampled at base_scene.py:32-43) is a set of small scanned household
+    objects ~3-10 cm across spanning flat / elongated / concave / blocky
+    grasp affordances. Since the meshes are unavailable in this image, each
+    id draws one of five sphere-compound shape classes covering that
+    affordance range (VERDICT r3 #10; fidelity delta documented in
+    docs/OBJECT_LIBRARY.md):
+
+      blob   — overlapping chain + satellite spheres (round-3 geometry)
+      rod    — thin capsule-like chain (elongated side grasps)
+      plate  — flat 2 x n grid (low, wide footprint; top pinches only)
+      bent   — L-shaped chain (concave inner corner)
+      block  — 2x2(x2) cluster (box-like, any-side grasp)
+
+    All classes keep adjacent-sphere spacing <= ~1.1 r so inter-sphere
+    "waists" stay above the 5 mm finger-stall grasp-detection width
+    (robot.py:295-297), and every pinchable cross-section (2r = 16-32 mm)
+    fits the 50 mm gripper opening with >=3x margin over the 5 mm
+    empty-grip tolerance even under partial solver penetration.
     """
+    shape = rng.choice(
+        ["blob", "rod", "plate", "bent", "block"],
+        p=[0.3, 0.2, 0.2, 0.15, 0.15],
+    )
+    if shape == "rod":
+        n = min(s, int(rng.integers(4, 7)))
+        r = rng.uniform(0.008, 0.012)
+        t = np.linspace(-0.5, 0.5, n)
+        centers = np.zeros((n, 3))
+        centers[:, 0] = t * (1.0 * r * (n - 1))
+        radii = np.full(n, r) * rng.uniform(0.9, 1.1, n)
+        return centers, radii
+    if shape == "plate":
+        cols = min(s // 2, 4)
+        r = rng.uniform(0.009, 0.013)
+        xs = (np.arange(cols) - (cols - 1) / 2.0) * (1.05 * r)
+        ys = np.array([-0.525 * r, 0.525 * r])
+        gx, gy = np.meshgrid(xs, ys)
+        centers = np.stack(
+            [gx.ravel(), gy.ravel(), np.zeros(2 * cols)], axis=1
+        )
+        radii = np.full(2 * cols, r)
+        return centers, radii
+    if shape == "bent":
+        n = min(s, 6)
+        n_a = n // 2 + 1
+        r = rng.uniform(0.009, 0.013)
+        step = 1.0 * r
+        arm_a = np.zeros((n_a, 3))
+        arm_a[:, 0] = np.arange(n_a) * step
+        arm_b = np.zeros((n - n_a, 3))
+        arm_b[:, 1] = (1 + np.arange(n - n_a)) * step
+        centers = np.concatenate([arm_a, arm_b], 0)
+        centers -= centers.mean(0)
+        radii = np.full(n, r) * rng.uniform(0.9, 1.1, n)
+        return centers, radii
+    if shape == "block":
+        r = rng.uniform(0.008, 0.013)
+        two_layer = s >= 8 and rng.random() < 0.5
+        zs = [-0.5 * r, 0.5 * r] if two_layer else [0.0]
+        pts = []
+        for z in zs:
+            for x in (-0.55 * r, 0.55 * r):
+                for y in (-0.55 * r, 0.55 * r):
+                    pts.append([x, y, z])
+        centers = np.asarray(pts)
+        radii = np.full(len(pts), r)
+        return centers, radii
+
+    # blob (round-3 geometry, unchanged)
     n = int(rng.integers(3, s + 1))
     base_r = rng.uniform(0.008, 0.016)
     length = rng.uniform(0.015, 0.045)
@@ -130,6 +195,45 @@ def _random_object_geometry(rng, s):
     return centers, radii
 
 
+def _coarse_fit(centers, radii, k):
+    """Fit k enclosing spheres to a union-of-spheres compound.
+
+    Volume-weighted k-means on the member centers (farthest-point init),
+    each group covered by the tightest sphere around its members. Used as
+    the object-object narrow-phase LOD: pad/static contacts keep the full
+    S-sphere geometry (grasp fidelity lives there), while object-object
+    pairs — measured at 57% of the fused solver kernel's cycles at
+    S=8 (docs/KERNEL_BREAKDOWN.md) — only need coarse shape to keep
+    clutter from interpenetrating. k=4 cuts the (NP,S,S,E) planes 4x.
+    """
+    n = len(radii)
+    k = min(k, n)
+    w = radii**3
+    idx = [int(np.argmax(radii))]
+    for _ in range(k - 1):
+        d = np.min(
+            [np.linalg.norm(centers - centers[i], axis=1) for i in idx],
+            axis=0,
+        )
+        idx.append(int(np.argmax(d)))
+    g = centers[idx].copy()
+    assign = np.zeros(n, np.int64)
+    for _ in range(8):
+        d = np.linalg.norm(centers[:, None, :] - g[None], axis=-1)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                g[j] = (w[m, None] * centers[m]).sum(0) / w[m].sum()
+    R = np.zeros(k)
+    for j in range(k):
+        m = assign == j
+        if m.any():
+            R[j] = (np.linalg.norm(centers[m] - g[j], axis=1) + radii[m]).max()
+    keep = R > 0
+    return g[keep], R[keep]
+
+
 def _compound_mass_inertia(centers, radii, density):
     """Mass, COM and principal inertia of a union-of-spheres (treated as
     disjoint solid spheres; overlap double-counting is acceptable for RL)."""
@@ -151,13 +255,16 @@ def _compound_mass_inertia(centers, radii, density):
 class ObjectLibrary:
     """Dense arrays of all object geometry; build once, ship to device."""
 
-    def __init__(self, spheres_per_object=8, seed=20260816):
+    def __init__(self, spheres_per_object=8, seed=20260816, oo_spheres=4):
         S = spheres_per_object
+        SC = oo_spheres
         T = NUM_WOODEN + NUM_RANDOM
         self.num_types = T
         self.spheres_per_object = S
         centers = np.zeros((T, S, 3), np.float32)
         radii = np.zeros((T, S), np.float32)
+        oo_centers = np.zeros((T, SC, 3), np.float32)
+        oo_radii = np.zeros((T, SC), np.float32)
         mass = np.zeros(T, np.float32)
         inv_inertia = np.zeros((T, 3), np.float32)
         color = np.zeros((T, 3), np.float32)
@@ -184,12 +291,17 @@ class ObjectLibrary:
             n = len(r)
             centers[t, :n] = c_p
             radii[t, :n] = r
+            gc, gr = _coarse_fit(c_p, r, SC)
+            oo_centers[t, : len(gr)] = gc
+            oo_radii[t, : len(gr)] = gr
             mass[t] = m
             inv_inertia[t] = 1.0 / np.maximum(evals, 1e-9)
             color[t] = col
 
         self.centers = centers
         self.radii = radii
+        self.oo_centers = oo_centers
+        self.oo_radii = oo_radii
         self.mass = mass
         self.inv_mass = (1.0 / np.maximum(mass, 1e-9)).astype(np.float32)
         self.inv_inertia = inv_inertia
