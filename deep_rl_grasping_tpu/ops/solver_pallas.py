@@ -104,8 +104,15 @@ def _f(x):
     return x.astype(jnp.float32)
 
 
-def _make_kernel(sp: dict, K, S, n_substeps):
-    """sp: plain-python scalar params snapshot (hashable/static)."""
+def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
+    """sp: plain-python scalar params snapshot (hashable/static).
+
+    ablate: perf-attribution switches used ONLY by
+    scripts_dev/kernel_breakdown.py (never in training): a frozenset of
+    {"statics", "pads", "objobj", "warm"} section names whose passes (and
+    any constants DCE'd with them) are skipped, so on-chip timing deltas
+    attribute the kernel's cycles per contact category
+    (docs/KERNEL_BREAKDOWN.md)."""
     dt = sp["dt"]
     has_tray = sp["has_tray"]
     P_list = [(i, j) for i in range(K) for j in range(i + 1, K)]
@@ -152,7 +159,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
     def kernel(q_ref, qd_ref, tgt_ref, ftgt_ref,
                pos_ref, quat_ref, lin_ref, ang_ref, alive_ref,
-               cent_ref, rad_ref, invm_ref, invI_ref,
+               cent_ref, rad_ref, cent2_ref, rad2_ref, invm_ref, invI_ref,
                q_out, qd_out, pos_out, quat_out, lin_out, ang_out):
         # Everything vector-valued is component-major: Mosaic only lowers
         # 2D gathers, so middle-dim integer slices like pos[:, c] are out;
@@ -169,11 +176,14 @@ def _make_kernel(sp: dict, K, S, n_substeps):
         alive = alive_ref[...]    # (K,E) f32
         cent_l = cent_ref[...]    # (3,K,S,E)
         radii = rad_ref[...]      # (K,S,E)
+        cent2_l = cent2_ref[...]  # (3,K,SC,E) coarse object-object LOD
+        radii2 = rad2_ref[...]    # (K,SC,E)
         inv_m = invm_ref[...]     # (K,E)
         inv_I_diag = tuple(invI_ref[c] for c in range(3))  # (K,E) x3
         E = q0[0].shape[-1]
 
         smask = _f(radii > 0.0) * alive[:, None, :]
+        smask2 = _f(radii2 > 0.0) * alive[:, None, :]
         inv_m_flat = inv_m[:, None, :]
 
         def one_substep(carry):
@@ -237,6 +247,14 @@ def _make_kernel(sp: dict, K, S, n_substeps):
                 + R[(c, 0)][:, None, :] * cent_l[0]
                 + R[(c, 1)][:, None, :] * cent_l[1]
                 + R[(c, 2)][:, None, :] * cent_l[2]
+                for c in range(3)
+            )
+            # coarse object-object LOD centers (K,SC,E)
+            cw2 = tuple(
+                pos[c][:, None, :]
+                + R[(c, 0)][:, None, :] * cent2_l[0]
+                + R[(c, 1)][:, None, :] * cent2_l[1]
+                + R[(c, 2)][:, None, :] * cent2_l[2]
                 for c in range(3)
             )
 
@@ -336,21 +354,21 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             pl_n, pl_pen, pl_pt, pl_act = pad_contact(c_l, 1.0)
             pr_n, pr_pen, pr_pt, pr_act = pad_contact(c_r, -1.0)
 
-            # object pairs: (NP,S,S,E)
+            # object pairs: (NP,SC,SC,E) — coarse LOD set
             ii = [p[0] for p in P_list]
             jj = [p[1] for p in P_list]
-            ci = tuple(jnp.stack([c[i] for i in ii])[:, :, None, :] for c in cw)
-            cj = tuple(jnp.stack([c[j] for j in jj])[:, None, :, :] for c in cw)
+            ci = tuple(jnp.stack([c[i] for i in ii])[:, :, None, :] for c in cw2)
+            cj = tuple(jnp.stack([c[j] for j in jj])[:, None, :, :] for c in cw2)
             dvec = _sub(ci, cj)
             dist = _norm(dvec)
-            r_i = jnp.stack([radii[i] for i in ii])[:, :, None, :]
-            r_j = jnp.stack([radii[j] for j in jj])[:, None, :, :]
+            r_i = jnp.stack([radii2[i] for i in ii])[:, :, None, :]
+            r_j = jnp.stack([radii2[j] for j in jj])[:, None, :, :]
             rsum = r_i + r_j
             oo_pen = rsum - dist
             oo_n = _scale(dvec, 1.0 / jnp.maximum(dist, 1e-9))
             oo_pt = _add(cj, _scale(oo_n, r_j + 0.5 * (dist - rsum)))
-            m_i = jnp.stack([smask[i] for i in ii])[:, :, None, :]
-            m_j = jnp.stack([smask[j] for j in jj])[:, None, :, :]
+            m_i = jnp.stack([smask2[i] for i in ii])[:, :, None, :]
+            m_j = jnp.stack([smask2[j] for j in jj])[:, None, :, :]
             oo_act = m_i * m_j * _f(oo_pen > 0.0)
 
             # ================================================= solve setup
@@ -563,6 +581,138 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             pl_consts = pad_solve_consts(pl_n, pl_r, pl_rb, axis_l, 4)
             pr_consts = pad_solve_consts(pr_n, pr_r, pr_rb, axis_r, 5)
 
+            def pad_vb(qd, jac, fdof):
+                """Gripper-side velocity along a pad jacobian."""
+                return (
+                    jac[0] * qd[0][None, None, :]
+                    + jac[1] * qd[1][None, None, :]
+                    + jac[2] * qd[2][None, None, :]
+                    + jac[3] * qd[3][None, None, :]
+                    + jac[4] * qd[fdof][None, None, :]
+                )
+
+            # Cross effective mass of the aligned left/right pad normal rows
+            # w_LR = J_L M^-1 J_R^T (physics.solve_pads_coupled): coupling
+            # through the shared object body plus the shared gripper base
+            # DOFs (0..3; the finger DOFs 4/5 are disjoint, so no finger
+            # cross term). Substep-invariant, hoisted like pad_solve_consts.
+            _jacL_n = pl_consts[5]
+            _jacR_n = pr_consts[5]
+            _rxnL = _cross(pl_r, pl_n)
+            _rxnR = _cross(pr_r, pr_n)
+            _w_lr_free = (
+                inv_m_flat * _dot(pl_n, pr_n)
+                + _dot(_rxnL, _iI_apply(iI_k, _rxnR))
+                + _jacL_n[0] * _jacR_n[0] * inv_dof_mass[0]
+                + _jacL_n[1] * _jacR_n[1] * inv_dof_mass[1]
+                + _jacL_n[2] * _jacR_n[2] * inv_dof_mass[2]
+                + _jacL_n[3] * _jacR_n[3] * inv_dof_mass[3]
+            )
+            # Decouples to two independent 1-D solves if either side inactive.
+            pad_w_lr = _w_lr_free * pl_act * pr_act
+            # Mass splitting counts: active sphere contacts per (object, pad)
+            # — each 2x2 block's impulse is damped by 1/n_active so parallel
+            # blocks on the same object don't jointly overshoot
+            # (physics.solve_pads_coupled mass-splitting note).
+            pad_cntL = jnp.maximum(pl_act.sum(1, keepdims=True), 1.0)
+            pad_cntR = jnp.maximum(pr_act.sum(1, keepdims=True), 1.0)
+
+            def pad_friction(V, W, qd, lam, act, r, consts, fdof, om):
+                """Tangent-only projected pass given a fixed normal lam
+                (physics.solve_friction)."""
+                (t1, t2, _, w_t1, w_t2, _, jac_t1, jac_t2) = consts
+                lam_n, lam_t1, lam_t2 = lam
+                v = obj_slot_vel(V, W, r)
+                v_t1 = _dot(v, t1) - pad_vb(qd, jac_t1, fdof)
+                v_t2 = _dot(v, t2) - pad_vb(qd, jac_t2, fdof)
+                lt1 = lam_t1 - v_t1 / w_t1 * om
+                lt2 = lam_t2 - v_t2 / w_t2 * om
+                t_norm = jnp.sqrt(lt1 * lt1 + lt2 * lt2)
+                scale = jnp.minimum(
+                    1.0, mu * lam_n / jnp.maximum(t_norm, 1e-9)
+                )
+                lt1 = lt1 * scale
+                lt2 = lt2 * scale
+                dP1 = lt1 - lam_t1
+                dP2 = lt2 - lam_t2
+                P = _add(_scale(t1, dP1), _scale(t2, dP2))
+                V, W = apply_obj(V, W, P, act, r, 1)
+                qd = list(qd)
+                for d, idx in ((0, 0), (1, 1), (2, 2), (3, 3), (4, fdof)):
+                    dq = -(jac_t1[d] * dP1 + jac_t2[d] * dP2)
+                    qd[idx] = qd[idx] + (dq * act).sum((0, 1)) * inv_dof_mass[idx]
+                return V, W, qd, (lam_n, lt1, lt2)
+
+            def pass_pads_coupled(V, W, qd, lamL, lamR):
+                """Exact 2x2 block solve of the opposing-pad normal rows
+                (Box2D-style 4-case LCP enumeration), componentwise identical
+                to physics.solve_pads_coupled: kills the slow Gauss-Seidel
+                contraction of the pinch (light object between two fingers)
+                that let the finger servo creep through held objects."""
+                lamLn, lamLt1, lamLt2 = lamL
+                lamRn, lamRt1, lamRt2 = lamR
+                jacL_n = pl_consts[5]
+                jacR_n = pr_consts[5]
+                w_ll = pl_consts[2]
+                w_rr = pr_consts[2]
+                vL = _dot(obj_slot_vel(V, W, pl_r), pl_n) - pad_vb(
+                    qd, jacL_n, 4
+                )
+                vR = _dot(obj_slot_vel(V, W, pr_r), pr_n) - pad_vb(
+                    qd, jacR_n, 5
+                )
+                bL = sp["pad_bias_scale"] * pl_bias - vL
+                bR = sp["pad_bias_scale"] * pr_bias - vR
+                w_lr = pad_w_lr
+                det = jnp.maximum(
+                    w_ll * w_rr - w_lr * w_lr, 1e-4 * w_ll * w_rr
+                )
+                # case A: both rows active
+                dA_L = (w_rr * bL - w_lr * bR) / det
+                dA_R = (w_ll * bR - w_lr * bL) / det
+                lamA_L, lamA_R = lamLn + dA_L, lamRn + dA_R
+                okA = (lamA_L >= 0.0) & (lamA_R >= 0.0)
+                # case B: left clamps to zero
+                dB_L = -lamLn
+                dB_R = (bR - w_lr * dB_L) / w_rr
+                lamB_R = lamRn + dB_R
+                okB = (lamB_R >= 0.0) & (w_ll * dB_L + w_lr * dB_R - bL >= 0.0)
+                # case C: right clamps to zero
+                dC_R = -lamRn
+                dC_L = (bL - w_lr * dC_R) / w_ll
+                lamC_L = lamLn + dC_L
+                okC = (lamC_L >= 0.0) & (w_lr * dC_L + w_rr * dC_R - bR >= 0.0)
+                zero = jnp.zeros_like(lamLn)
+                newL = jnp.where(
+                    okA, lamA_L,
+                    jnp.where(okB, zero, jnp.where(okC, lamC_L, zero)),
+                )
+                newR = jnp.where(okA, lamA_R, jnp.where(okB, lamB_R, zero))
+                newL = lamLn + (newL - lamLn) / pad_cntL
+                newR = lamRn + (newR - lamRn) / pad_cntR
+                dPL = newL - lamLn
+                dPR = newR - lamRn
+                V, W = apply_obj(V, W, _scale(pl_n, dPL), pl_act, pl_r, 1)
+                qd = list(qd)
+                for d, idx in ((0, 0), (1, 1), (2, 2), (3, 3), (4, 4)):
+                    qd[idx] = qd[idx] + (
+                        -(jacL_n[d] * dPL) * pl_act
+                    ).sum((0, 1)) * inv_dof_mass[idx]
+                V, W = apply_obj(V, W, _scale(pr_n, dPR), pr_act, pr_r, 1)
+                for d, idx in ((0, 0), (1, 1), (2, 2), (3, 3), (4, 5)):
+                    qd[idx] = qd[idx] + (
+                        -(jacR_n[d] * dPR) * pr_act
+                    ).sum((0, 1)) * inv_dof_mass[idx]
+                V, W, qd, lamL = pad_friction(
+                    V, W, qd, (newL, lamLt1, lamLt2), pl_act, pl_r,
+                    pl_consts, 4, sp["pad_omega"],
+                )
+                V, W, qd, lamR = pad_friction(
+                    V, W, qd, (newR, lamRt1, lamRt2), pr_act, pr_r,
+                    pr_consts, 5, sp["pad_omega"],
+                )
+                return V, W, qd, lamL, lamR
+
             def pass_pad(V, W, qd, lam, n, pen_bias, act, r, consts, fdof,
                          om, bias_scale, warm_vals=None):
                 (t1, t2, w_n, w_t1, w_t2, jac_n, jac_t1, jac_t2) = consts
@@ -653,44 +803,54 @@ def _make_kernel(sp: dict, K, S, n_substeps):
             # (tray walls), so their warm start skips the stored-normal
             # continuity gate (saves 3 (NS,K,S,E) VMEM planes; physics.py
             # gates against the previous normal, identical for the plane).
-            lam_w = tuple(
-                l * (gate * sp["warm_start"] * st_act) for l in lam_st
-            )
-            t1s, t2s = st_t1, st_t2
-            Pw = _add(
-                _add(_scale(st_n, lam_w[0]), _scale(t1s, lam_w[1])),
-                _scale(t2s, lam_w[2]),
-            )
-            Pwm = _scale(Pw, st_act)
-            dV = tuple((p * inv_m_flat[None]).sum((0, 2)) for p in Pwm)
-            tq = _cross(st_r, Pwm)
-            dW = tuple(
-                t.sum((0, 2))
-                for t in _iI_apply(tuple(p[None] for p in iI_k), tq)
-            )
-            V = _add(V, dV)
-            W = _add(W, dW)
-            lam_st = lam_w
+            if not ({"warm", "statics"} & ablate):
+                lam_w = tuple(
+                    l * (gate * sp["warm_start"] * st_act) for l in lam_st
+                )
+                t1s, t2s = st_t1, st_t2
+                Pw = _add(
+                    _add(_scale(st_n, lam_w[0]), _scale(t1s, lam_w[1])),
+                    _scale(t2s, lam_w[2]),
+                )
+                Pwm = _scale(Pw, st_act)
+                dV = tuple((p * inv_m_flat[None]).sum((0, 2)) for p in Pwm)
+                tq = _cross(st_r, Pwm)
+                dW = tuple(
+                    t.sum((0, 2))
+                    for t in _iI_apply(tuple(p[None] for p in iI_k), tq)
+                )
+                V = _add(V, dV)
+                W = _add(W, dW)
+                lam_st = lam_w
+            else:
+                lam_st = tuple(jnp.zeros_like(l) for l in lam_st)
 
-            lam_w = gated(lam_pl, no_pl, pl_n, pl_act)
-            V, W, qd, lam_pl = pass_pad(
-                V, W, qd, lam_w, pl_n, pl_bias, pl_act, pl_r, pl_consts,
-                4, omega, 1.0, warm_vals=lam_w,
-            )
-            lam_w = gated(lam_pr, no_pr, pr_n, pr_act)
-            V, W, qd, lam_pr = pass_pad(
-                V, W, qd, lam_w, pr_n, pr_bias, pr_act, pr_r, pr_consts,
-                5, omega, 1.0, warm_vals=lam_w,
-            )
+            if not ({"warm", "pads"} & ablate):
+                lam_w = gated(lam_pl, no_pl, pl_n, pl_act)
+                V, W, qd, lam_pl = pass_pad(
+                    V, W, qd, lam_w, pl_n, pl_bias, pl_act, pl_r, pl_consts,
+                    4, omega, 1.0, warm_vals=lam_w,
+                )
+                lam_w = gated(lam_pr, no_pr, pr_n, pr_act)
+                V, W, qd, lam_pr = pass_pad(
+                    V, W, qd, lam_w, pr_n, pr_bias, pr_act, pr_r, pr_consts,
+                    5, omega, 1.0, warm_vals=lam_w,
+                )
+            else:
+                lam_pl = tuple(jnp.zeros_like(l) for l in lam_pl)
+                lam_pr = tuple(jnp.zeros_like(l) for l in lam_pr)
 
-            lam_w = gated(lam_oo, no_oo, oo_n, oo_act)
-            t1o, t2o = oo_t1, oo_t2
-            Pw = _add(
-                _add(_scale(oo_n, lam_w[0]), _scale(t1o, lam_w[1])),
-                _scale(t2o, lam_w[2]),
-            )
-            V, W = apply_pair(V, W, Pw, oo_act, oo_ra, oo_rb)
-            lam_oo = lam_w
+            if not ({"warm", "objobj"} & ablate):
+                lam_w = gated(lam_oo, no_oo, oo_n, oo_act)
+                t1o, t2o = oo_t1, oo_t2
+                Pw = _add(
+                    _add(_scale(oo_n, lam_w[0]), _scale(t1o, lam_w[1])),
+                    _scale(t2o, lam_w[2]),
+                )
+                V, W = apply_pair(V, W, Pw, oo_act, oo_ra, oo_rb)
+                lam_oo = lam_w
+            else:
+                lam_oo = tuple(jnp.zeros_like(l) for l in lam_oo)
 
             # ---------------------------------------------------- solve
             def solve_motor(qd, lam_m):
@@ -709,28 +869,24 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
             def solver_iteration(it, c):
                 V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo = c
-                V, W, lam_st = pass_statics(V, W, lam_st)
+                if "statics" not in ablate:
+                    V, W, lam_st = pass_statics(V, W, lam_st)
 
                 def pad_iter(pi, c2):
                     V, W, qd, lam_m, lam_pl, lam_pr = c2
                     qd, lam_m = solve_motor(qd, lam_m)
-                    V, W, qd, lam_pl = pass_pad(
-                        V, W, qd, lam_pl, pl_n, pl_bias, pl_act, pl_r,
-                        pl_consts, 4, sp["pad_omega"],
-                        sp["pad_bias_scale"],
-                    )
-                    V, W, qd, lam_pr = pass_pad(
-                        V, W, qd, lam_pr, pr_n, pr_bias, pr_act, pr_r,
-                        pr_consts, 5, sp["pad_omega"],
-                        sp["pad_bias_scale"],
-                    )
+                    if "pads" not in ablate:
+                        V, W, qd, lam_pl, lam_pr = pass_pads_coupled(
+                            V, W, qd, lam_pl, lam_pr
+                        )
                     return (V, W, qd, lam_m, lam_pl, lam_pr)
 
                 V, W, qd, lam_m, lam_pl, lam_pr = jax.lax.fori_loop(
                     0, sp["pad_inner_iterations"], pad_iter,
                     (V, W, qd, lam_m, lam_pl, lam_pr),
                 )
-                V, W, lam_oo = pass_objobj(V, W, lam_oo)
+                if "objobj" not in ablate:
+                    V, W, lam_oo = pass_objobj(V, W, lam_oo)
                 return (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo)
 
             (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo) = (
@@ -779,7 +935,7 @@ def _make_kernel(sp: dict, K, S, n_substeps):
 
         zst = tuple(jnp.zeros((NS, K, S, E), jnp.float32) for _ in range(3))
         zpd = tuple(jnp.zeros((K, S, E), jnp.float32) for _ in range(3))
-        zoo = tuple(jnp.zeros((NP, S, S, E), jnp.float32) for _ in range(3))
+        zoo = tuple(jnp.zeros((NP, SC, SC, E), jnp.float32) for _ in range(3))
         carry = (
             q0, qd0, pos0, quat0, V0, W0,
             zst, zpd, zpd, zoo, zpd, zpd, zoo,
@@ -832,9 +988,9 @@ def _scalar_params(params: SimParams) -> dict:
 
 
 def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
-              centers, radii, inv_mass, inv_inertia,
+              centers, radii, oo_centers, oo_radii, inv_mass, inv_inertia,
               params: SimParams, n_substeps: int, block_e: int = 128,
-              interpret: bool = False):
+              interpret: bool = False, ablate: frozenset = frozenset()):
     """Run `n_substeps` fused solver substeps on a batch of envs.
 
     Inputs are env-first (B, ...); the wrapper transposes to the env-last
@@ -844,6 +1000,7 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
     B = gq.shape[0]
     K = opos.shape[1]
     S = radii.shape[2]
+    SC = oo_radii.shape[2]
     Bp = max(((B + block_e - 1) // block_e) * block_e, block_e)
 
     def to_lanes(x):
@@ -860,10 +1017,15 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
         to_lanes(cm(oang)),
         to_lanes(oalive.astype(jnp.float32)),
         to_lanes(jnp.transpose(centers, (0, 3, 1, 2))),
-        to_lanes(radii), to_lanes(inv_mass),
+        to_lanes(radii),
+        to_lanes(jnp.transpose(oo_centers, (0, 3, 1, 2))),
+        to_lanes(oo_radii),
+        to_lanes(inv_mass),
         to_lanes(cm(inv_inertia)),
     ]
-    kernel = _make_kernel(_scalar_params(params), K, S, n_substeps)
+    kernel = _make_kernel(
+        _scalar_params(params), K, S, SC, n_substeps, ablate
+    )
 
     def spec(shape):
         nd = len(shape)
@@ -877,7 +1039,9 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
         (6, block_e), (6, block_e), (4, block_e), (1, block_e),
         (3, K, block_e), (4, K, block_e), (3, K, block_e), (3, K, block_e),
         (K, block_e),
-        (3, K, S, block_e), (K, S, block_e), (K, block_e), (3, K, block_e),
+        (3, K, S, block_e), (K, S, block_e),
+        (3, K, SC, block_e), (K, SC, block_e),
+        (K, block_e), (3, K, block_e),
     ]
     out_shapes = [
         (6, block_e), (6, block_e), (3, K, block_e), (4, K, block_e),
@@ -913,7 +1077,8 @@ def run_batch(gq, gqd, gtarget, gftgt, opos, oquat, olin, oang, oalive,
 
 
 def run_batched_sim(states: SimState, params: SimParams, n_substeps: int,
-                    block_e: int = 128, interpret: bool = False) -> SimState:
+                    block_e: int = 128, interpret: bool = False,
+                    ablate: frozenset = frozenset()) -> SimState:
     """Batched replacement for vmap(physics.run) over a leading env axis."""
     g = states.gripper
     o = states.objects
@@ -921,9 +1086,10 @@ def run_batched_sim(states: SimState, params: SimParams, n_substeps: int,
         g.q, g.qd, g.target, g.finger_target,
         o.pos, o.quat, o.linvel, o.angvel, o.alive,
         params.centers[o.obj_type], params.radii[o.obj_type],
+        params.oo_centers[o.obj_type], params.oo_radii[o.obj_type],
         params.inv_mass[o.obj_type], params.inv_inertia[o.obj_type],
         params=params, n_substeps=n_substeps, block_e=block_e,
-        interpret=interpret,
+        interpret=interpret, ablate=ablate,
     )
     return SimState(
         gripper=g.replace(q=q, qd=qd),

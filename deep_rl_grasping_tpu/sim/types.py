@@ -111,6 +111,12 @@ class SimParams:
     # Object library (dense arrays, set at build time)
     centers: jnp.ndarray = None     # (T, S, 3)
     radii: jnp.ndarray = None       # (T, S)
+    # Coarse LOD used ONLY for object-object narrow phase (objects.py
+    # _coarse_fit): enclosing-sphere clusters of the fine compound. Pads
+    # and statics keep the fine set — grasp fidelity lives there; the
+    # (NP,S,S,E) pair planes were 57% of the fused kernel at S=8.
+    oo_centers: jnp.ndarray = None  # (T, SC, 3)
+    oo_radii: jnp.ndarray = None    # (T, SC)
     inv_mass: jnp.ndarray = None    # (T,)
     inv_inertia: jnp.ndarray = None  # (T, 3) principal, body frame
     color: jnp.ndarray = None       # (T, 3)
@@ -124,6 +130,8 @@ def make_sim_params(library, scene_type="OnTable", **overrides):
         has_tray=(scene_type == "OnTable"),
         centers=jnp.asarray(library.centers),
         radii=jnp.asarray(library.radii),
+        oo_centers=jnp.asarray(library.oo_centers),
+        oo_radii=jnp.asarray(library.oo_radii),
         inv_mass=jnp.asarray(library.inv_mass),
         inv_inertia=jnp.asarray(library.inv_inertia),
         color=jnp.asarray(library.color),
