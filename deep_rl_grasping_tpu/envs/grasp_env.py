@@ -276,7 +276,16 @@ class GraspEnv:
             enc = self.encoder_fn(img[..., None])
         else:
             # Until an autoencoder is attached, expose a deterministic
-            # downsampled latent of the right dimension.
+            # downsampled latent of the right dimension. Warn loudly: a
+            # training run that silently falls through to this stand-in is
+            # NOT the encoder-latent experiment (VERDICT r3 soft spot).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "encoder-latent observation requested but no autoencoder "
+                "is attached (sensor.encoder_dir missing or weights not "
+                "found) — falling back to a downsampled-depth stand-in"
+            )
             side = int(np.ceil(np.sqrt(self.encoding_dim)))
             small = jax.image.resize(img, (side, side), "linear").reshape(-1)
             enc = small[: self.encoding_dim]
@@ -517,10 +526,11 @@ class BatchedGraspEnv:
         return states, self.observe_batch(states)
 
     def observe_batch(self, states):
-        """Batched observation: fused Pallas depth+seg raster on TPU for
-        depth/encoder modes (render/raycast.py stays for RGB-D and CPU)."""
+        """Batched observation through the fused Pallas raster on TPU:
+        depth+seg for depth/encoder modes, +shade (RGB via id->color LUT)
+        for full RGB-D obs. render/raycast.py remains the CPU/parity path."""
         env = self.env
-        if not self.use_pallas or env.full_obs:
+        if not self.use_pallas:
             return jax.vmap(env.observe)(states)
         from deep_rl_grasping_tpu.ops import raster_pallas
         from deep_rl_grasping_tpu.render import raycast
@@ -528,10 +538,15 @@ class BatchedGraspEnv:
         cam_pos, cam_R = jax.vmap(raycast.camera_pose_from_gripper)(
             states.sim.gripper.q, states.cam_t, states.cam_R
         )
-        depth, seg = raster_pallas.render_batch_pallas(
+        out = raster_pallas.render_batch_pallas(
             states.sim, env.sim_params, cam_pos, cam_R, states.intrinsics,
             H=env.im_h, W=env.im_w, near=env.near, far=env.far,
+            with_rgb=env.full_obs,
         )
+        if env.full_obs:
+            rgb, depth, seg = out
+            return jax.vmap(env.assemble_obs)(states, rgb, depth, seg)
+        depth, seg = out
         return jax.vmap(
             lambda st, d, m: env.assemble_obs(st, None, d, m)
         )(states, depth, seg)

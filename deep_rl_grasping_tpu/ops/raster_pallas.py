@@ -40,9 +40,9 @@ def _raster_kernel(
     sph_c_ref, sph_r_ref, sph_id_ref,
     box_c_ref, box_R_ref,
     cam_o_ref, cam_R_ref, intr_ref,
-    depth_ref, seg_ref,
-    *, PH, PW, W, E, P, num_boxes, box_he, box_ids,
-    plane_z, near, far, plane_seg_mode, tray_half, walls,
+    depth_ref, seg_ref, *maybe_shade_ref,
+    PH, PW, W, E, P, num_boxes, box_he, box_ids,
+    plane_z, near, far, plane_seg_mode, tray_half, walls, with_shade,
 ):
     # Pixels are packed (PH, PW) with PW=128 (one full vreg of lanes; the
     # natural (64, 64) layout leaves half the VPU idle), and E envs render
@@ -74,6 +74,14 @@ def _raster_kernel(
 
         best_t = jnp.full((PH, PW), jnp.inf, jnp.float32)
         best_id = jnp.full((PH, PW), -1, jnp.int32)
+        a = dx * dx + dy * dy + dz * dz
+        if with_shade:
+            # Headlight Lambert: shade = 0.35 + 0.65*clip(-n.d/|d|, 0, 1)
+            # (same model as render/raycast.py:133-138). Tracked alongside
+            # the depth argmin so the RGB LUT gather outside the kernel
+            # only needs (seg, shade).
+            best_sh = jnp.zeros((PH, PW), jnp.float32)
+            inv_dn = jax.lax.rsqrt(a)
 
         # ---- support plane ----------------------------------------------
         dz_safe = jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
@@ -89,9 +97,12 @@ def _raster_kernel(
         take = valid & (t_p < best_t)
         best_t = jnp.where(take, t_p, best_t)
         best_id = jnp.where(take, pid, best_id)
+        if with_shade:
+            # plane normal +z -> n.d = dz
+            sh_p = 0.35 + 0.65 * jnp.clip(-dz * inv_dn, 0.0, 1.0)
+            best_sh = jnp.where(take, sh_p, best_sh)
 
         # ---- spheres (loop over primitive slots) ------------------------
-        a = dx * dx + dy * dy + dz * dz
 
         # Static unroll over primitive slots: Mosaic cannot prove alignment
         # of dynamic lane-indexed scalar loads, and P is small (K*S ~ 40).
@@ -111,6 +122,12 @@ def _raster_kernel(
             ok = (disc > 0) & (t > near) & (r > 0) & (t < best_t)
             best_t = jnp.where(ok, t, best_t)
             best_id = jnp.where(ok, sph_id_ref[e, 0, i], best_id)
+            if with_shade:
+                # n = (hit - c)/r; n.d = (oc.d + t*|d|^2)/r
+                r_safe = jnp.maximum(r, 1e-9)
+                nd = (0.5 * b + t * a) / r_safe
+                sh_s = 0.35 + 0.65 * jnp.clip(-nd * inv_dn, 0.0, 1.0)
+                best_sh = jnp.where(ok, sh_s, best_sh)
 
         # ---- gripper boxes (slab test, unrolled; shared rotation) -------
         Rg = box_R_ref[e]  # (3,3) box-to-world
@@ -143,6 +160,16 @@ def _raster_kernel(
             ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
             best_t = jnp.where(ok, t, best_t)
             best_id = jnp.where(ok, box_ids[bi], best_id)
+            if with_shade:
+                # entry-face normal: axis of the max slab-entry; the face
+                # normal opposes the ray, so |n.d| = |rd_axis| and
+                # -n.d/|d| = |rd_axis|/|d| (rotation preserves |d|).
+                nd_abs = jnp.where(
+                    (lo1 >= lo2) & (lo1 >= lo3), jnp.abs(rdx),
+                    jnp.where(lo2 >= lo3, jnp.abs(rdy), jnp.abs(rdz)),
+                )
+                sh_b = 0.35 + 0.65 * jnp.clip(nd_abs * inv_dn, 0.0, 1.0)
+                best_sh = jnp.where(ok, sh_b, best_sh)
 
         # ---- tray walls (axis-aligned slabs, static geometry; id 2 like
         # the tray floor — mirrors render/raycast.py:192-209) -------------
@@ -163,17 +190,27 @@ def _raster_kernel(
             ok = (tmin < tmax) & (tmax > 0) & (t > near) & (t < best_t)
             best_t = jnp.where(ok, t, best_t)
             best_id = jnp.where(ok, 2, best_id)
+            if with_shade:
+                nd_abs = jnp.where(
+                    (lo1 >= lo2) & (lo1 >= lo3), jnp.abs(dx),
+                    jnp.where(lo2 >= lo3, jnp.abs(dy), jnp.abs(dz)),
+                )
+                sh_w = 0.35 + 0.65 * jnp.clip(nd_abs * inv_dn, 0.0, 1.0)
+                best_sh = jnp.where(ok, sh_w, best_sh)
 
         depth_ref[e] = jnp.minimum(
             jnp.where(jnp.isfinite(best_t), best_t, far), far
         )
         seg_ref[e] = best_id
+        if with_shade:
+            maybe_shade_ref[0][e] = best_sh
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "plane_seg_mode", "plane_z", "near", "far",
-                     "tray_half", "wall_height", "gripper_id", "interpret"),
+                     "tray_half", "wall_height", "gripper_id", "interpret",
+                     "with_shade"),
 )
 def raster_depth_seg(
     sph_centers, sph_radii, sph_ids,
@@ -181,9 +218,11 @@ def raster_depth_seg(
     cam_origin, cam_R, intrinsics,
     *, H=64, W=64, plane_seg_mode="floor", plane_z=-0.196, near=0.02,
     far=2.0, tray_half=0.21, wall_height=0.062, gripper_id=6,
-    interpret=False,
+    interpret=False, with_shade=False,
 ):
-    """Batched fused render. sph_* leading dim B; see module docstring."""
+    """Batched fused render. sph_* leading dim B; see module docstring.
+    with_shade=True additionally returns the per-pixel headlight shade of
+    the winning primitive (for RGB assembly via an id->color LUT)."""
     B, P, _ = sph_centers.shape
     num_boxes = box_centers.shape[1]
     box_he = (PAD_HALF_EXTENTS, PAD_HALF_EXTENTS, BASE_HALF_EXTENTS)[:num_boxes]
@@ -197,6 +236,14 @@ def raster_depth_seg(
     else:
         PH, PW = H, W
     E = next(e for e in (4, 2, 1) if B % e == 0)
+    # VMEM guard (ADVICE r3): the kernel body is fully unrolled E times and
+    # holds ~(2 + with_shade) f32/i32 accumulators + ray registers per
+    # pixel block; keep the output blocks well under the ~16 MB/core VMEM.
+    n_out = 3 if with_shade else 2
+    assert E * PH * PW * 4 * n_out <= 4 * 1024 * 1024, (
+        f"raster block E={E} H={H} W={W} exceeds the VMEM budget; "
+        "lower E or the image size"
+    )
 
     # Tray wall OBBs are world-axis-aligned and static per scene type:
     # (cx, cy, cz, hx, hy, hz), matching render/raycast.py:192-204.
@@ -217,6 +264,7 @@ def raster_depth_seg(
         PH=PH, PW=PW, W=W, E=E, P=P, num_boxes=num_boxes, box_he=box_he,
         box_ids=box_ids, plane_z=plane_z, near=near, far=far,
         plane_seg_mode=plane_seg_mode, tray_half=tray_half, walls=walls,
+        with_shade=with_shade,
     )
     grid = (B // E,)
     # 2D per-env inputs carry a singleton middle axis: Mosaic requires the
@@ -232,34 +280,40 @@ def raster_depth_seg(
         pl.BlockSpec((E, 3, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    out_specs = (
-        pl.BlockSpec((E, PH, PW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E, PH, PW), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    block = pl.BlockSpec((E, PH, PW), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = (block,) * n_out
+    out_shape = (
+        jax.ShapeDtypeStruct((B, PH, PW), jnp.float32),
+        jax.ShapeDtypeStruct((B, PH, PW), jnp.int32),
     )
-    depth, seg = pl.pallas_call(
+    if with_shade:
+        out_shape = out_shape + (jax.ShapeDtypeStruct((B, PH, PW), jnp.float32),)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, PH, PW), jnp.float32),
-            jax.ShapeDtypeStruct((B, PH, PW), jnp.int32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         sph_centers, sph_radii[:, None], sph_ids[:, None],
         box_centers, box_R, cam_origin[:, None], cam_R,
         intrinsics[:, None],
     )
-    return depth.reshape(B, H, W), seg.reshape(B, H, W)
+    return tuple(o.reshape(B, H, W) for o in out)
 
 
 def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,
-                        H=64, W=64, near=0.02, far=2.0, interpret=False):
+                        H=64, W=64, near=0.02, far=2.0, interpret=False,
+                        with_rgb=False):
     """Adapter: batched SimState -> fused depth+seg render.
 
     states: SimState with leading batch dim B. Returns (depth, seg) shaped
-    (B, H, W) with raycast.render's segmentation id layout.
+    (B, H, W) with raycast.render's segmentation id layout; with_rgb=True
+    returns (rgb, depth, seg) where rgb is (B, H, W, 3) float [0,1]
+    assembled from the kernel's shade channel through the same id->color
+    LUT as render/raycast.py:221-232.
     """
     B, K = states.objects.pos.shape[:2]
     centers, radii, mask = jax.vmap(
@@ -278,7 +332,7 @@ def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,
 
     box_c, box_R = jax.vmap(gboxes)(states.gripper.q)
     gripper_id = (K + 3) if params.has_tray else (K + 1)
-    return raster_depth_seg(
+    out = raster_depth_seg(
         flat_c, flat_r, slot_ids.astype(jnp.int32),
         box_c, box_R, cam_pos, cam_R, intrinsics,
         H=H, W=W,
@@ -287,5 +341,26 @@ def render_batch_pallas(states, params, cam_pos, cam_R, intrinsics,
         tray_half=float(params.tray_half),
         wall_height=float(params.tray_wall_height),
         gripper_id=int(gripper_id),
-        interpret=interpret,
+        interpret=interpret, with_shade=with_rgb,
     )
+    if not with_rgb:
+        return out
+    depth, seg, shade = out
+    from deep_rl_grasping_tpu.render.raycast import (
+        GRIPPER_COLOR, SURFACE_COLOR, TRAY_COLOR,
+    )
+
+    obj_cols = params.color[states.objects.obj_type]  # (B, K, 3)
+    ones = jnp.ones((B, 1, 1))
+    if params.has_tray:
+        lut = jnp.concatenate(
+            [SURFACE_COLOR * ones, SURFACE_COLOR * ones, TRAY_COLOR * ones,
+             obj_cols, GRIPPER_COLOR * ones], axis=1)
+    else:
+        lut = jnp.concatenate(
+            [SURFACE_COLOR * ones, obj_cols, GRIPPER_COLOR * ones], axis=1)
+    shade = jnp.where(seg < 0, 0.0, shade)
+    rgb = jnp.take_along_axis(
+        lut, jnp.maximum(seg, 0).reshape(B, -1, 1), axis=1
+    ).reshape(B, H, W, 3) * shade[..., None]
+    return rgb, depth, seg
