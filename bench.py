@@ -142,6 +142,10 @@ def main():
                 "train_vs_baseline": round(train / BASELINE_STEPS_PER_S, 1),
                 "train_regime": "flagship config: 128 envs, 1 update/frame",
                 "num_envs": num_envs,
+                # methodology (ADVICE r3: results must be self-describing
+                # across chunk-size changes)
+                "bench_chunk": int(os.environ.get("BENCH_CHUNK", "25")),
+                "bench_iters": iters,
             }
         )
     )
