@@ -23,6 +23,9 @@ p.add_argument('--bc_steps', type=int, default=20000)
 p.add_argument('--batch', type=int, default=256)
 p.add_argument('--lr', type=float, default=3e-4)
 p.add_argument('--eval_lam', type=float, default=0.125)
+p.add_argument('--layers', type=str, default=None,
+               help='comma-separated MLP widths overriding SAC.layers '
+                    '(e.g. 256,256) — capacity probe for latent obs')
 args = p.parse_args()
 
 from deep_rl_grasping_tpu.training.trainer import Trainer
@@ -30,6 +33,8 @@ from deep_rl_grasping_tpu.algos import normalize as norm_mod, replay as replay_m
 from deep_rl_grasping_tpu.utils import config as cfg_util
 
 config = cfg_util.load_config(args.config)
+if args.layers:
+    config['SAC']['layers'] = [int(x) for x in args.layers.split(',')]
 trainer = Trainer(config, algo='SAC')
 state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
 state, nd, ns = jax.jit(lambda s: trainer.seed_demos(s, args.frames))(state)
