@@ -45,7 +45,8 @@ class DQN:
         if image_obs is None:
             image_obs = len(obs_shape) == 3
         self.net = QNetwork(
-            self.num_actions, layers=(64, 64), image_obs=image_obs, dueling=True
+            self.num_actions, layers=tuple(c.get("layers", [64, 64])),
+            image_obs=image_obs, dueling=True,
         )
         self.tx = optax.adam(self.lr)
 
