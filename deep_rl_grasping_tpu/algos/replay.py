@@ -106,14 +106,37 @@ def _nstep_gather(buf: ReplayBuffer, idx, n_step, gamma):
     return acc_r, stop, nxt, discount
 
 
-def sample(buf: ReplayBuffer, key, batch_size, n_step=1, gamma=0.99):
+def sample(buf: ReplayBuffer, key, batch_size, n_step=1, gamma=0.99,
+           recent_batch=0, recent_window=0):
     """Uniform sample of (n-step) transitions. Returns dict incl.
     obs/next_obs/reward/done and the bootstrap `discount` (0 when the
-    episode terminated inside the window, gamma^n otherwise)."""
+    episode terminated inside the window, gamma^n otherwise).
+
+    Recency stratification (`recent_batch` rows drawn uniformly from the
+    newest `recent_window` frames instead of the whole ring): under a
+    workspace curriculum the ring holds a difficulty mixture spanning the
+    whole run, and a large buffer lets stale easy-lambda transitions
+    dominate every batch long after the task has moved on — the r4
+    flagship decayed sr 0.77 -> 0.35 while parked at lambda=0.875 on a 1M
+    ring that was mostly lambda<=0.5 data. Guaranteeing a recent slice
+    keeps the learner on the distribution it is actually acting in (the
+    off-policy analogue of LFO/combined experience replay, Zhang & Sutton
+    2017) without shrinking the buffer's coverage of rare failures."""
     n = _valid_range(buf, n_step)
     # Order slots oldest-first: slot i of the window maps to ring index
     # (ptr - size + i) mod C, which is valid for i < n.
-    offs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(n, 1))
+    if recent_batch > 0 and recent_window > 0:
+        k_all, k_rec = jax.random.split(key)
+        offs_all = jax.random.randint(
+            k_all, (batch_size - recent_batch,), 0, jnp.maximum(n, 1)
+        )
+        lo = jnp.maximum(n - recent_window, 0)
+        offs_rec = lo + jax.random.randint(
+            k_rec, (recent_batch,), 0, jnp.maximum(n - lo, 1)
+        )
+        offs = jnp.concatenate([offs_all, offs_rec])
+    else:
+        offs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(n, 1))
     idx = (buf.ptr - buf.size + offs) % buf.capacity
     reward, done, nxt, discount = _nstep_gather(buf, idx, n_step, gamma)
     img = (batch_size,) + buf.obs_shape

@@ -93,9 +93,27 @@ class SAC:
 
         self.actor = SACActor(self.action_dim, self.layers, self.image_obs)
         self.critic = SACCritic(self.layers, self.image_obs)
-        self.actor_tx = optax.adam(self.lr)
-        self.critic_tx = optax.adam(self.lr)
-        self.alpha_tx = optax.adam(self.lr)
+        # Optional linear LR decay over GRADIENT steps (SAC.lr_decay_steps,
+        # optionally delayed by SAC.lr_decay_begin, floored at
+        # SAC.lr_final_scale * step_size, default 0.1x). Million-step Adam
+        # runs at a fixed 3e-4 drift once the task is learned — both the
+        # r3b (sr 0.97 -> 0.83 past 800k) and r4 (0.77 -> 0.35) flagships
+        # decayed late; annealing the step size is the standard SAC remedy.
+        # Gradient steps == env frames at the flagship's 1-update-per-frame
+        # ratio; under tpu.update_batch_scale they differ by that factor.
+        decay_steps = int(c.get("lr_decay_steps", 0) or 0)
+        if decay_steps > 0:
+            schedule = optax.linear_schedule(
+                init_value=self.lr,
+                end_value=self.lr * float(c.get("lr_final_scale", 0.1)),
+                transition_steps=decay_steps,
+                transition_begin=int(c.get("lr_decay_begin", 0) or 0),
+            )
+        else:
+            schedule = self.lr
+        self.actor_tx = optax.adam(schedule)
+        self.critic_tx = optax.adam(schedule)
+        self.alpha_tx = optax.adam(schedule)
 
     # ------------------------------------------------------------------ init
 
@@ -214,9 +232,19 @@ class SAC:
                 se = ((jnp.tanh(mean) - act_t) ** 2).sum(-1)
                 bc_loss = (mask * se).sum() / jnp.maximum(mask.sum(), 1.0)
                 loss = loss + self.bc_weight * bc_loss
-            return loss, (logp, bc_loss)
+                # Diagnostic: fraction of demo rows whose expert action the
+                # critic still rates above the policy's (the BC gate). 0
+                # means BC is silently off — the critic believes the policy
+                # beats the 96%-success expert everywhere.
+                n_demo = batch["is_demo"][-t:].astype(jnp.float32).sum()
+                bc_gate = (mask > 0).astype(jnp.float32).sum() / jnp.maximum(
+                    n_demo, 1.0
+                )
+            else:
+                bc_gate = jnp.asarray(0.0)
+            return loss, (logp, bc_loss, bc_gate)
 
-        (actor_loss, (logp, bc_loss)), actor_grads = jax.value_and_grad(
+        (actor_loss, (logp, bc_loss, bc_gate)), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True
         )(state.actor_params)
         actor_grads = self._pmean(actor_grads)
@@ -256,6 +284,7 @@ class SAC:
             critic_loss=critic_loss,
             actor_loss=actor_loss,
             bc_loss=bc_loss,
+            bc_gate=bc_gate,
             alpha_loss=alpha_loss,
             alpha=alpha,
             entropy=-logp.mean(),

@@ -374,6 +374,24 @@ def train(args):
                 res = trainer.evaluate(ck_state.algo_state, ck_state.normalizer)
                 res = {k: float(v) for k, v in res.items()}
                 logging.info("eval @ %d: %s", frames, res)
+                # Second eval at the TRAINING lambda while the curriculum
+                # is still ramping: at lambda<1 the protocol eval above
+                # measures a distribution the policy has never seen, so on
+                # its own it can't distinguish "not learning" from "not
+                # there yet" (VERDICT r3 weak #4). Reuses the compile (lam
+                # is traced).
+                if lam < 1.0:
+                    res_tr = trainer.evaluate(
+                        ck_state.algo_state, ck_state.normalizer, lam=lam
+                    )
+                    res["train_lambda_success"] = float(
+                        res_tr["success_rate"]
+                    )
+                    res["train_lambda"] = lam
+                    logging.info(
+                        "eval @ %d (training lambda %.3f): sr %.2f",
+                        frames, lam, res["train_lambda_success"],
+                    )
                 eval_log.log(frames, res)
                 tb.add_scalars(frames, {"eval_" + k: v for k, v in res.items()})
                 if ckpt.save_best(frames, _bundle(ck_state), res["mean_return"]):

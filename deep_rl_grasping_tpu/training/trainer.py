@@ -130,15 +130,23 @@ class EvalMixin:
     instead of scanning the full time horizon."""
 
     def evaluate(self, algo_state, normalizer, n_episodes=10, key=None,
-                 validate=True, stochastic=False):
+                 validate=True, stochastic=False, lam=None):
+        """lam: workspace-curriculum lambda for the eval scenes (default
+        1.0, the protocol difficulty). Passing the TRAINING lambda gives a
+        decayed-policy diagnostic on the distribution the policy actually
+        trained on (VERDICT r3: an eval measured only at lambda=1 is
+        uninformative while the curriculum is still ramping). Traced, so
+        any value reuses the cached compile."""
         cache_key = (n_episodes, validate, stochastic)
         if not hasattr(self, "_eval_cache"):
             self._eval_cache = {}
+        lam_val = jnp.asarray(1.0 if lam is None else lam, jnp.float32)
         if cache_key in self._eval_cache:
             run, n_calls = self._eval_cache[cache_key]
             self._eval_cache[cache_key] = (run, n_calls + 1)
             return run(algo_state, normalizer,
-                       jax.random.PRNGKey(n_calls) if key is None else key)
+                       jax.random.PRNGKey(n_calls) if key is None else key,
+                       lam_val)
         eval_env = GraspEnv(self.config, evaluate=True, validate=validate,
                             encoder_fn=self.env.encoder_fn)
         eval_env.branched_actions = self.env.branched_actions
@@ -154,8 +162,9 @@ class EvalMixin:
         # Fixed scene sequence (simulation.py:91-100 RandomState(1)).
         scene_key = jax.random.PRNGKey(1)
 
-        def run(algo_state, normalizer, key):
-            states, obs = benv.reset(scene_key, curriculum)
+        def run(algo_state, normalizer, key, lam_val):
+            cur0 = curriculum.replace(lam=lam_val)
+            states, obs = benv.reset(scene_key, cur0)
             B = n_episodes
 
             def cond(carry):
@@ -185,7 +194,7 @@ class EvalMixin:
                         t + 1)
 
             init = (
-                states, obs, curriculum,
+                states, obs, cur0,
                 jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
                 jnp.zeros(B, bool), key, jnp.asarray(0, jnp.int32),
             )
@@ -204,7 +213,7 @@ class EvalMixin:
 
         run_jit = jax.jit(run)
         self._eval_cache[cache_key] = (run_jit, 1)
-        return run_jit(algo_state, normalizer, key)
+        return run_jit(algo_state, normalizer, key, lam_val)
 
 
 class Trainer(EvalMixin):
@@ -217,6 +226,31 @@ class Trainer(EvalMixin):
         self.env = GraspEnv(self.config, encoder_fn=_maybe_load_encoder(self.config))
         self.num_envs = int(num_envs or self.config["tpu"].get("num_envs", 128))
         self.benv = BatchedGraspEnv(self.env, self.num_envs, pmean_axis=pmean_axis)
+        tpu_cfg = self.config["tpu"]
+        self.updates_per_step = int(tpu_cfg.get("updates_per_step", 1))
+        # Batched-update mode (tpu.update_batch_scale = K): fold K small
+        # sequential gradient steps into one K-times-larger step, keeping
+        # sampled-transitions-per-env-frame (the reference's replay-ratio
+        # currency, sb SAC train_freq=1 / sb_helper.py:120-128) exactly
+        # constant. The MXU is badly underutilized at batch 256 (the
+        # flagship's 128 sequential updates per iteration run ~1 ms each);
+        # one batch-2048 step costs far less than eight batch-256 steps.
+        # Mutates the algo config block BEFORE the algo is built so
+        # batch-derived internals (SAC.bc_tail) stay consistent.
+        # Step-size note: fewer, larger steps usually want a higher LR —
+        # that stays an explicit config decision (<ALGO>.step_size).
+        self.update_batch_scale = int(tpu_cfg.get("update_batch_scale", 1) or 1)
+        if self.update_batch_scale > 1:
+            if self.updates_per_step % self.update_batch_scale:
+                raise ValueError(
+                    "tpu.update_batch_scale must divide tpu.updates_per_step"
+                )
+            algo_block = dict(self.config.get(self.algo_name, {}))
+            algo_block["batch_size"] = (
+                int(algo_block.get("batch_size", 256)) * self.update_batch_scale
+            )
+            self.config[self.algo_name] = algo_block
+            self.updates_per_step //= self.update_batch_scale
         self.algo = make_algo(self.config, self.env, self.algo_name, pmean_axis)
         self.normalize = bool(self.config.get("normalize", False))
         # Fixed reward scaling (config `reward_scale`): the learner sees
@@ -228,8 +262,6 @@ class Trainer(EvalMixin):
         # intact at a critic-friendly magnitude. Overrides reward
         # normalization when set; obs normalization is unaffected.
         self.reward_scale = float(self.config.get("reward_scale", 0) or 0)
-        tpu_cfg = self.config["tpu"]
-        self.updates_per_step = int(tpu_cfg.get("updates_per_step", 1))
         algo_cfg = self.config.get(self.algo_name, {})
         self.buffer_size = int(algo_cfg.get("buffer_size", 200_000))
         self.batch_size = int(algo_cfg.get("batch_size", 256))
@@ -244,6 +276,20 @@ class Trainer(EvalMixin):
         # behavior-cloning term in SAC's actor loss).
         self.demo_fraction = float(tpu_cfg.get("demo_fraction", 0) or 0)
         self.demo_batch = int(round(self.batch_size * self.demo_fraction))
+        # Recency stratification (tpu.recent_fraction of the NON-demo batch
+        # rows drawn from the newest tpu.recent_window frames; see
+        # replay.sample). Counters stale-distribution drift under the
+        # workspace curriculum on large rings.
+        self.recent_fraction = float(tpu_cfg.get("recent_fraction", 0) or 0)
+        self.recent_window = int(tpu_cfg.get("recent_window", 0) or 0)
+        # Tie the SAC target-entropy anneal to curriculum progress
+        # (tpu.entropy_anneal_lambda): the anneal fraction becomes
+        # min(frames_frac, lambda), so exploration never collapses to the
+        # final target while the curriculum is still ramping. The r4
+        # flagship annealed to -5 by 400k frames while still at lambda=0.5
+        # on the harder object library; exploration died mid-curriculum and
+        # the policy decayed instead of adapting at lambda=0.875.
+        self.entropy_anneal_lambda = bool(tpu_cfg.get("entropy_anneal_lambda"))
         if self.demo_batch > 0 and not int(tpu_cfg.get("demo_frames", 0)):
             raise ValueError(
                 "tpu.demo_fraction > 0 requires tpu.demo_frames > 0 "
@@ -391,9 +437,11 @@ class Trainer(EvalMixin):
         )
         return self.algo.act(params, obs, key, eps)
 
-    def _target_entropy_at(self, frames):
+    def _target_entropy_at(self, frames, lam=None):
         """Annealed SAC target entropy at `frames` env frames (None when
-        the anneal is not configured — static target applies)."""
+        the anneal is not configured — static target applies). With
+        tpu.entropy_anneal_lambda the anneal fraction is additionally
+        capped by the curriculum lambda (see __init__)."""
         a = self.algo
         if (self.algo_name != "SAC" or a.target_entropy_final is None
                 or a.target_entropy_anneal <= 0):
@@ -401,6 +449,8 @@ class Trainer(EvalMixin):
         frac = jnp.clip(
             frames.astype(jnp.float32) / a.target_entropy_anneal, 0.0, 1.0
         )
+        if self.entropy_anneal_lambda and lam is not None:
+            frac = jnp.minimum(frac, lam)
         return a.target_entropy + frac * (
             float(a.target_entropy_final) - a.target_entropy
         )
@@ -422,7 +472,9 @@ class Trainer(EvalMixin):
             obs_in = state.obs
         actions = self._act(state.algo_state, obs_in, k_act,
                             frames=state.global_step)
-        target_entropy = self._target_entropy_at(state.global_step)
+        target_entropy = self._target_entropy_at(
+            state.global_step, lam=state.curriculum.lam
+        )
         env_states, next_obs, rewards, dones, infos, curriculum = self.benv.step(
             state.env_states, actions, state.curriculum
         )
@@ -450,9 +502,12 @@ class Trainer(EvalMixin):
                 # the main ring + demo_batch from the protected demo ring;
                 # `is_demo` marks the demo rows for the BC actor term.
                 ks1, ks2 = jax.random.split(ks)
+                n_main = self.batch_size - self.demo_batch
                 main = replay_mod.sample(
-                    buffer, ks1, self.batch_size - self.demo_batch,
+                    buffer, ks1, n_main,
                     n_step=self.n_step, gamma=self.algo.gamma,
+                    recent_batch=int(round(n_main * self.recent_fraction)),
+                    recent_window=self.recent_window,
                 )
                 demo = replay_mod.sample(
                     demo_buffer, ks2, self.demo_batch,
@@ -478,6 +533,8 @@ class Trainer(EvalMixin):
                 batch = replay_mod.sample(
                     buffer, ks, self.batch_size,
                     n_step=self.n_step, gamma=self.algo.gamma,
+                    recent_batch=int(round(self.batch_size * self.recent_fraction)),
+                    recent_window=self.recent_window,
                 )
             if self.normalize:
                 batch["obs"] = norm_mod.normalize_obs(normalizer, batch["obs"])

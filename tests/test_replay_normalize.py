@@ -151,3 +151,52 @@ def test_nstep_valid_range_shrinks():
     assert int(replay._valid_range(buf, n_step=3)) == 2 * B
     batch = replay.sample(buf, jax.random.PRNGKey(0), 64, n_step=3, gamma=0.99)
     assert float(batch["obs"].max()) <= 1.0
+
+
+def test_recency_stratified_sampling():
+    """recent_batch rows must come from the newest recent_window frames;
+    the remaining rows stay uniform over the whole valid range."""
+    buf = replay.create(400, (1,), (1,), batch_stride=4, obs_dtype=jnp.float32)
+    for t in range(80):  # 320 frames, no wraparound
+        buf = replay.insert(
+            buf,
+            jnp.full((4, 1), float(t)),
+            jnp.zeros((4, 1)),
+            jnp.zeros((4,)),
+            jnp.zeros((4,), bool),
+        )
+    batch = replay.sample(
+        buf, jax.random.PRNGKey(0), 64, recent_batch=32, recent_window=40
+    )
+    vals = np.asarray(batch["obs"][:, 0])
+    # Valid range is t=0..78 (the newest insert lacks successors). The
+    # stratified tail (last 32 rows) must lie within the newest 40 frames
+    # = 10 insert rounds: t in [69, 78].
+    assert vals[32:].min() >= 69.0
+    assert vals[32:].max() <= 78.0
+    # The uniform head should still reach old data (overwhelmingly likely:
+    # P(all 32 uniform draws land in the newest 13% of the ring) ~ 1e-28).
+    assert vals[:32].min() < 69.0
+    # next_obs stride still holds for stratified rows
+    np.testing.assert_allclose(
+        np.asarray(batch["next_obs"][:, 0]), vals + 1.0
+    )
+
+
+def test_recency_window_clamped_to_valid_range():
+    """A recent_window larger than the buffer content must degrade to
+    uniform sampling over the valid range, not index garbage."""
+    buf = replay.create(64, (1,), (1,), batch_stride=4, obs_dtype=jnp.float32)
+    for t in range(4):
+        buf = replay.insert(
+            buf,
+            jnp.full((4, 1), float(t)),
+            jnp.zeros((4, 1)),
+            jnp.zeros((4,)),
+            jnp.zeros((4,), bool),
+        )
+    batch = replay.sample(
+        buf, jax.random.PRNGKey(0), 16, recent_batch=8, recent_window=10_000
+    )
+    vals = np.asarray(batch["obs"][:, 0])
+    assert vals.min() >= 0.0 and vals.max() <= 2.0  # valid t = 0..2
