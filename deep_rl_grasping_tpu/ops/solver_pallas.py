@@ -112,7 +112,11 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
     {"statics", "pads", "objobj", "warm"} section names whose passes (and
     any constants DCE'd with them) are skipped, so on-chip timing deltas
     attribute the kernel's cycles per contact category
-    (docs/KERNEL_BREAKDOWN.md)."""
+    (docs/KERNEL_BREAKDOWN.md). The finer-grained "<name>_pass" switches
+    ("statics_pass", "pads_pass", "objobj_pass") skip only the per-
+    solver-iteration solve passes while KEEPING the category's per-substep
+    geometry, constants, and warm start, splitting each category's cost
+    into iterate-rate vs substep-rate work."""
     dt = sp["dt"]
     has_tray = sp["has_tray"]
     P_list = [(i, j) for i in range(K) for j in range(i + 1, K)]
@@ -869,13 +873,13 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
 
             def solver_iteration(it, c):
                 V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo = c
-                if "statics" not in ablate:
+                if not ({"statics", "statics_pass"} & ablate):
                     V, W, lam_st = pass_statics(V, W, lam_st)
 
                 def pad_iter(pi, c2):
                     V, W, qd, lam_m, lam_pl, lam_pr = c2
                     qd, lam_m = solve_motor(qd, lam_m)
-                    if "pads" not in ablate:
+                    if not ({"pads", "pads_pass"} & ablate):
                         V, W, qd, lam_pl, lam_pr = pass_pads_coupled(
                             V, W, qd, lam_pl, lam_pr
                         )
@@ -885,7 +889,7 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
                     0, sp["pad_inner_iterations"], pad_iter,
                     (V, W, qd, lam_m, lam_pl, lam_pr),
                 )
-                if "objobj" not in ablate:
+                if not ({"objobj", "objobj_pass"} & ablate):
                     V, W, lam_oo = pass_objobj(V, W, lam_oo)
                 return (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo)
 

@@ -97,6 +97,15 @@ def main():
     no_warm = tv("- warm start (all)", ablate=frozenset({"warm"}))
     only_int = tv("- all three categories",
                   ablate=frozenset({"objobj", "statics", "pads"}))
+    # Pass-only ablations: geometry/constants/warm start retained, so the
+    # delta vs full is the per-solver-iteration solve work alone and
+    # (no_X_pass - no_X) is the per-substep geometry+consts+warm cost.
+    no_oo_pass = tv("- objobj solve passes only",
+                    ablate=frozenset({"objobj_pass"}))
+    no_pad_pass = tv("- pad inner passes only",
+                     ablate=frozenset({"pads_pass"}))
+    no_st_pass = tv("- statics passes only",
+                    ablate=frozenset({"statics_pass"}))
 
     for it in (2, 4):
         for pad in (2, 4, 6):
@@ -112,6 +121,14 @@ def main():
     print(f"  warm     {full - no_warm:7.2f} ms ({(full - no_warm) / full:5.1%})")
     print(f"  residual (integrate/motor/geometry) {only_int:7.2f} ms "
           f"({only_int / full:5.1%})")
+    print("\n# per-category split (solve passes vs substep-rate "
+          "geometry+consts+warm):")
+    for name, np_, na in (("objobj", no_oo_pass, no_oo),
+                          ("pads", no_pad_pass, no_pad),
+                          ("statics", no_st_pass, no_st)):
+        print(f"  {name:<8} passes {full - np_:6.2f} ms "
+              f"({(full - np_) / full:5.1%})   "
+              f"geom+warm {np_ - na:6.2f} ms ({(np_ - na) / full:5.1%})")
 
 
 if __name__ == "__main__":

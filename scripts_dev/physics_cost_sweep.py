@@ -55,6 +55,25 @@ VARIANTS = [
     ("dt80it4pad6  16ss/4it/6pad dt80",
      {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
       "solver_iterations": 4, "pad_inner_iterations": 6}),
+    # dt40 rung (round 4): halves substeps again vs dt80. 25 ms substeps
+    # lean hard on the Baumgarte/warm-start stabilisation — the expert gate
+    # plus the grasp-rate floor test decide, not intuition.
+    ("dt40it6pad8  8ss/6it/8pad dt40",
+     {"dt": 1.0 / 40.0, "gripper_substeps": 8, "move_substeps": 4,
+      "solver_iterations": 6, "pad_inner_iterations": 8}),
+    ("dt40it4pad6  8ss/4it/6pad dt40",
+     {"dt": 1.0 / 40.0, "gripper_substeps": 8, "move_substeps": 4,
+      "solver_iterations": 4, "pad_inner_iterations": 6}),
+    # it2pad4 rungs (round 4): the kernel cycle attribution puts ~2/3 of
+    # the fused kernel in the per-iteration solve passes, and the round-4
+    # coupled 2x2 pad block solve converges faster per pass than the old
+    # sequential L/R alternation the it4pad6 choice was swept under.
+    ("dt80it2pad4  16ss/2it/4pad dt80",
+     {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
+      "solver_iterations": 2, "pad_inner_iterations": 4}),
+    ("dt40it2pad4  8ss/2it/4pad dt40",
+     {"dt": 1.0 / 40.0, "gripper_substeps": 8, "move_substeps": 4,
+      "solver_iterations": 2, "pad_inner_iterations": 4}),
 ]
 
 
