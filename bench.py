@@ -97,13 +97,18 @@ def bench_collect(num_envs, iters):
     return total / (time.perf_counter() - t0)
 
 
-def bench_train(iters):
+def bench_train(iters, update_batch_scale=1):
     """Training-loop throughput in the FLAGSHIP regime: the exact
     sac_full_flagship.yaml configuration (128 envs, 128 updates of batch
     256 per iteration = 1 gradient step per env frame, the reference's
     replay ratio). This is the honest number for "reference workload at
     reference replay ratio" — the collect metric above is the pure
-    environment rate."""
+    environment rate.
+
+    update_batch_scale > 1 folds K sequential updates into one K-times-
+    larger batch (tpu.update_batch_scale, trainer.py) at constant
+    sampled-transitions-per-frame — the MXU-batched variant of the same
+    replay ratio, reported separately as train_batched_steps_per_s."""
     from deep_rl_grasping_tpu.training.trainer import Trainer
     from deep_rl_grasping_tpu.utils import config as cfg_util
 
@@ -112,6 +117,8 @@ def bench_train(iters):
                      "sac_full_flagship.yaml")
     )
     cfg.setdefault("SAC", {})["buffer_size"] = 200_000
+    if update_batch_scale > 1:
+        cfg.setdefault("tpu", {})["update_batch_scale"] = update_batch_scale
     trainer = Trainer(cfg, algo="SAC")
     num_envs = trainer.num_envs
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
@@ -131,6 +138,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     collect = bench_collect(num_envs, iters)
     train = bench_train(max(iters // 2, 3))
+    batch_scale = int(os.environ.get("BENCH_UPDATE_SCALE", "16"))
+    train_batched = (
+        bench_train(max(iters // 2, 3), update_batch_scale=batch_scale)
+        if batch_scale > 1 else train
+    )
     print(
         json.dumps(
             {
@@ -141,6 +153,10 @@ def main():
                 "train_steps_per_s": round(train, 1),
                 "train_vs_baseline": round(train / BASELINE_STEPS_PER_S, 1),
                 "train_regime": "flagship config: 128 envs, 1 update/frame",
+                # Same sampled-transitions-per-frame, K updates fused into
+                # one K-times-larger batch (tpu.update_batch_scale).
+                "train_batched_steps_per_s": round(train_batched, 1),
+                "train_batched_scale": batch_scale,
                 "num_envs": num_envs,
                 # methodology (ADVICE r3: results must be self-describing
                 # across chunk-size changes)
