@@ -71,8 +71,14 @@ class DDPG:
         self.pmean_axis = pmean_axis
         if image_obs is None:
             image_obs = len(obs_shape) == 3
-        self.actor = DeterministicActor(self.action_dim, image_obs=image_obs)
-        self.critic = SingleCritic(image_obs=image_obs)
+        # DDPG.layers: head width matters for encoder-latent obs — the BC
+        # capacity probe (out/probe_latents, scripts_dev/probe_bc.py) showed
+        # [64,64] cannot untangle the 100-d AE code.
+        layers = tuple(c.get("layers", (64, 64)))
+        self.actor = DeterministicActor(
+            self.action_dim, layers=layers, image_obs=image_obs
+        )
+        self.critic = SingleCritic(layers=layers, image_obs=image_obs)
         self.actor_tx = optax.adam(self.actor_lr)
         self.critic_tx = optax.adam(self.critic_lr)
 

@@ -50,7 +50,11 @@ class TRPO:
         self.pmean_axis = pmean_axis
         if image_obs is None:
             image_obs = len(obs_shape) == 3
-        self.net = ActorCritic(self.action_dim, discrete, (64, 64), image_obs)
+        # TRPO.layers: head width matters for encoder-latent obs (same
+        # capacity finding as SAC/DQN — [64,64] cannot untangle the 100-d
+        # AE code; scripts_dev/probe_bc.py).
+        layers = tuple(c.get("layers", (64, 64)))
+        self.net = ActorCritic(self.action_dim, discrete, layers, image_obs)
         self.vf_tx = optax.adam(self.vf_lr)
 
     def init(self, key) -> TRPOState:
