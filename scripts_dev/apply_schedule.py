@@ -32,6 +32,18 @@ SCHEDULES = {
     "dt80it4pad6": {"dt": 1.0 / 80.0, "gripper_substeps": 16,
                     "move_substeps": 8, "solver_iterations": 4,
                     "pad_inner_iterations": 6},
+    "dt80it2pad4": {"dt": 1.0 / 80.0, "gripper_substeps": 16,
+                    "move_substeps": 8, "solver_iterations": 2,
+                    "pad_inner_iterations": 4},
+    "dt40it6pad8": {"dt": 1.0 / 40.0, "gripper_substeps": 8,
+                    "move_substeps": 4, "solver_iterations": 6,
+                    "pad_inner_iterations": 8},
+    "dt40it4pad6": {"dt": 1.0 / 40.0, "gripper_substeps": 8,
+                    "move_substeps": 4, "solver_iterations": 4,
+                    "pad_inner_iterations": 6},
+    "dt40it2pad4": {"dt": 1.0 / 40.0, "gripper_substeps": 8,
+                    "move_substeps": 4, "solver_iterations": 2,
+                    "pad_inner_iterations": 4},
     "revert": {},
 }
 SCHED_KEYS = {"dt", "gripper_substeps", "move_substeps",
