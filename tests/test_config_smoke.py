@@ -33,7 +33,38 @@ CONFIGS = [
     ("simplified_object_picking.yaml", "SAC"),
     ("bdq_simplified.yaml", "BDQ"),
     ("dqn_simplified.yaml", "DQN"),
+    ("ddpg_simplified.yaml", "DDPG"),
+    ("sac_simplified_sharded_quality.yaml", "SAC"),
+    ("sac_simplified_singlechip_quality.yaml", "SAC"),
+    ("sac_simplified_batched_quality.yaml", "SAC"),
 ]
+
+# On-policy configs go through OnPolicyTrainer (rollout + GAE update).
+ONPOLICY_CONFIGS = [
+    ("ppo_simplified.yaml", "PPO"),
+    ("trpo_simplified.yaml", "TRPO"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,algo", ONPOLICY_CONFIGS, ids=[c for c, _ in ONPOLICY_CONFIGS]
+)
+def test_onpolicy_config_builds_and_train_step_traces(name, algo):
+    from deep_rl_grasping_tpu.training.onpolicy import OnPolicyTrainer
+
+    config = cfg_util.load_config(os.path.join(REPO, "configs", name))
+    config["robot"]["discrete"] = False
+    config["algorithm"] = algo.lower()
+    config.setdefault(algo, {})["n_steps"] = 4
+    tpu = config.setdefault("tpu", {})
+    tpu["num_envs"] = 4
+
+    trainer = OnPolicyTrainer(config, algo=algo)
+    state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
+    new_state, metrics = jax.eval_shape(trainer.train_step, state)
+    assert jax.tree_util.tree_structure(new_state) == (
+        jax.tree_util.tree_structure(state)
+    )
 
 
 @pytest.mark.parametrize("name,algo", CONFIGS, ids=[c for c, _ in CONFIGS])
