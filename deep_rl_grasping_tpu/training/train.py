@@ -423,6 +423,16 @@ def run(args):
     else:
         from deep_rl_grasping_tpu.training.trainer import Trainer
 
+        # Eval never samples the replay ring, but init_state allocates it
+        # at config size — the RGB-D flagship's 250k x 5-channel ring is
+        # 10.2 GB and OOM'd the protocol eval on a 16 GB chip. The restore
+        # bundle (_bundle) holds only learner params + normalizer moments +
+        # curriculum, so ring capacity can shrink freely here.
+        config.setdefault(algo, {})["buffer_size"] = 2048
+        tpu_blk = config.setdefault("tpu", {})
+        if tpu_blk.get("demo_frames"):
+            tpu_blk["demo_frames"] = 2048
+            tpu_blk["demo_capacity"] = 2048
         trainer = Trainer(config, algo=algo)
     state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0))
     ckpt = cb.Checkpointer(model_dir)

@@ -61,7 +61,7 @@ def test_onpolicy_config_builds_and_train_step_traces(name, algo):
 
     trainer = OnPolicyTrainer(config, algo=algo)
     state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
-    new_state, metrics = jax.eval_shape(trainer.train_step, state)
+    new_state, metrics = jax.eval_shape(trainer.train_iteration, state)
     assert jax.tree_util.tree_structure(new_state) == (
         jax.tree_util.tree_structure(state)
     )
