@@ -138,6 +138,13 @@ class GraspEnv:
         # Domain randomization is disabled for eval (sensor.py:22 randomize
         # flag; evaluation uses the nominal camera).
         self.randomize = sensor_cfg.get("randomize") if not evaluate else None
+        # RGB channel scale for full_observation. Default 255 mirrors the
+        # reference's uint8-range images (robot.py:199-205 dstack) and keeps
+        # saved r4 checkpoints' obs contract; sensor.rgb_scale: 1.0 feeds
+        # unit-range RGB so all five channels share the depth channel's
+        # magnitude (the 0-255 x bf16 mismatch is a suspected contributor
+        # to the r4 RGB-D instability, TRAINING_NOTES).
+        self.rgb_scale = float(sensor_cfg.get("rgb_scale", 255.0))
 
         self.move_substeps = int(tpu.get("move_substeps", 24))
         self.gripper_substeps = int(tpu.get("gripper_substeps", 48))
@@ -261,7 +268,8 @@ class GraspEnv:
             pad = pad.at[0, 0].set(a_obs[0])
             if self.full_obs:
                 return jnp.concatenate(
-                    [rgb * 255.0, depth[..., None], pad[..., None]], -1
+                    [rgb * self.rgb_scale, depth[..., None], pad[..., None]],
+                    -1,
                 )
             return jnp.stack([depth, pad], -1)
         # Encoder observation (sensor.py:206-230): mask out static surfaces
