@@ -139,10 +139,14 @@ def main():
     collect = bench_collect(num_envs, iters)
     train = bench_train(max(iters // 2, 3))
     batch_scale = int(os.environ.get("BENCH_UPDATE_SCALE", "16"))
-    train_batched = (
-        bench_train(max(iters // 2, 3), update_batch_scale=batch_scale)
-        if batch_scale > 1 else train
-    )
+    try:
+        train_batched = (
+            bench_train(max(iters // 2, 3), update_batch_scale=batch_scale)
+            if batch_scale > 1 else train
+        )
+    except Exception as e:  # never let the extra metric kill the headline
+        print(f"# train_batched failed: {e!r}", file=sys.stderr)
+        train_batched, batch_scale = train, 1
     print(
         json.dumps(
             {
