@@ -472,6 +472,13 @@ class GraspEnv:
             "episode_step": ep_step,
             "episode_return": ep_return,
             "status": status,
+            # Post-step (pre-auto-reset) alive count: with table clearing,
+            # episode_cleared = initial alive - this (the reference counts
+            # cleared objects per episode in its table-clearing protocol,
+            # rewards.py:99-143); constant in non-clearing tasks.
+            "objects_alive": jnp.sum(
+                stepped.sim.objects.alive.astype(jnp.int32)
+            ),
         }
         if not with_obs:
             return next_state, reward, done, info

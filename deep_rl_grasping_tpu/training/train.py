@@ -457,6 +457,9 @@ def run(args):
     print("{:<13}{:>7.2f}".format("Mean reward:", float(res["mean_return"])))
     print("{:<13}{:>7.2f}".format("Mean steps:", float(res["mean_length"])))
     print("{:<13}{:>7.2f}".format("Mean success rate:", float(res["success_rate"])))
+    if "mean_cleared" in res:
+        print("{:<13}{:>7.2f}".format(
+            "Mean objects cleared:", float(res["mean_cleared"])))
     print("{:<13}{:>7.2f}".format("Mean time:", wall / max(n_episodes, 1)))
 
 

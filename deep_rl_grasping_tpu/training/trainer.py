@@ -166,13 +166,17 @@ class EvalMixin:
             cur0 = curriculum.replace(lam=lam_val)
             states, obs = benv.reset(scene_key, cur0)
             B = n_episodes
+            # Cleared-objects-per-episode (table clearing): initial alive
+            # count minus the post-step count when the episode first ends.
+            init_alive = states.sim.objects.alive.astype(jnp.int32).sum(-1)
 
             def cond(carry):
-                _, _, _, done_once, _, _, _, _, t = carry
+                _, _, _, done_once, _, _, _, _, _, t = carry
                 return (~jnp.all(done_once)) & (t < eval_env.time_horizon)
 
             def body(carry):
-                states, obs, cur, done_once, ret, length, succ, k, t = carry
+                (states, obs, cur, done_once, ret, length, succ, cleared,
+                 k, t) = carry
                 k, ka = jax.random.split(k)
                 obs_in = (
                     norm_mod.normalize_obs(normalizer, obs)
@@ -189,25 +193,27 @@ class EvalMixin:
                 ret = jnp.where(first_done, infos["episode_return"], ret)
                 length = jnp.where(first_done, infos["episode_step"], length)
                 succ = jnp.where(first_done, infos["is_success"], succ)
+                cleared = jnp.where(
+                    first_done, init_alive - infos["objects_alive"], cleared
+                )
                 done_once = done_once | dones
-                return (states, obs, cur, done_once, ret, length, succ, k,
-                        t + 1)
+                return (states, obs, cur, done_once, ret, length, succ,
+                        cleared, k, t + 1)
 
             init = (
                 states, obs, cur0,
                 jnp.zeros(B, bool), jnp.zeros(B), jnp.zeros(B, jnp.int32),
-                jnp.zeros(B, bool), key, jnp.asarray(0, jnp.int32),
+                jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
+                key, jnp.asarray(0, jnp.int32),
             )
-            (states, obs, cur, done_once, ret, length, succ, _, _) = (
-                jax.lax.while_loop(cond, body, init)
-            )
+            (states, obs, cur, done_once, ret, length, succ, cleared, _,
+             _) = jax.lax.while_loop(cond, body, init)
+            n_done = jnp.maximum(done_once.sum(), 1)
             return dict(
-                mean_return=jnp.where(done_once, ret, 0.0).sum()
-                / jnp.maximum(done_once.sum(), 1),
-                mean_length=jnp.where(done_once, length, 0).sum()
-                / jnp.maximum(done_once.sum(), 1),
-                success_rate=jnp.where(done_once, succ, False).sum()
-                / jnp.maximum(done_once.sum(), 1),
+                mean_return=jnp.where(done_once, ret, 0.0).sum() / n_done,
+                mean_length=jnp.where(done_once, length, 0).sum() / n_done,
+                success_rate=jnp.where(done_once, succ, False).sum() / n_done,
+                mean_cleared=jnp.where(done_once, cleared, 0).sum() / n_done,
                 episodes=done_once.sum(),
             )
 

@@ -127,6 +127,9 @@ def test_table_clearing_removes_objects():
             # lift_success reward, episode continues (rewards.py:119-122)
             assert float(r) == 10.0
             assert not bool(done)
+            # info reports the post-clear alive count (the eval protocol
+            # derives cleared-objects-per-episode from it)
+            assert int(info["objects_alive"]) == n_now == n0 - 1
             break
     assert cleared, "table clearing never removed the lifted object"
     # gripper reopened after the clear

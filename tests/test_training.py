@@ -130,6 +130,10 @@ def test_evaluate_at_training_lambda():
     # one compile, two lambdas
     run, n_calls = tr._eval_cache[(2, True, False)]
     assert n_calls == 2
+    # Cleared-objects-per-episode metric (VERDICT r3 #3): present in every
+    # eval dict; zero in non-clearing tasks (objects are never removed).
+    assert float(res_full["mean_cleared"]) == 0.0
+    assert float(res_easy["mean_cleared"]) == 0.0
 
 
 @pytest.mark.parametrize("algo", ["PPO", "TRPO"])
