@@ -71,7 +71,10 @@ def bench_collect(num_envs, iters):
     # ms per call, which at n_inner=5 left the chip idle ~30% of the wall
     # time (trace 2026_08_18: device-side 42.2 ms/step = 96k steps/s vs
     # 69.7k measured). Longer chunks amortize it to noise.
-    n_inner = int(os.environ.get("BENCH_CHUNK", "25"))
+    # Bumped 25 -> 50 in round 4: at 25 the tunnel dispatch still leaked
+    # ~14% vs the device-side rate (trace 2026_08_18). Recorded in the
+    # output JSON (bench_chunk) so results stay self-describing.
+    n_inner = int(os.environ.get("BENCH_CHUNK", "50"))
     # Two warmups: the first compiles the reset-sourced signature, the
     # second the rollout-sourced one (weak-type differences would otherwise
     # retrace on every timed call).
