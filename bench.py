@@ -34,6 +34,11 @@ jax_cache.setup()  # CPU runs get a host-fingerprinted cache dir
 
 BASELINE_STEPS_PER_S = 11.2
 
+# Env steps per device call (single source of truth — the output JSON must
+# report the value the run actually used; ADVICE r4: the JSON re-read the
+# env var with a stale default and mis-described the methodology).
+BENCH_CHUNK = int(os.environ.get("BENCH_CHUNK", "50"))
+
 
 def bench_collect(num_envs, iters):
     from deep_rl_grasping_tpu.envs.grasp_env import BatchedGraspEnv, GraspEnv
@@ -74,7 +79,7 @@ def bench_collect(num_envs, iters):
     # Bumped 25 -> 50 in round 4: at 25 the tunnel dispatch still leaked
     # ~14% vs the device-side rate (trace 2026_08_18). Recorded in the
     # output JSON (bench_chunk) so results stay self-describing.
-    n_inner = int(os.environ.get("BENCH_CHUNK", "50"))
+    n_inner = BENCH_CHUNK
     # Two warmups: the first compiles the reset-sourced signature, the
     # second the rollout-sourced one (weak-type differences would otherwise
     # retrace on every timed call).
@@ -167,7 +172,7 @@ def main():
                 "num_envs": num_envs,
                 # methodology (ADVICE r3: results must be self-describing
                 # across chunk-size changes)
-                "bench_chunk": int(os.environ.get("BENCH_CHUNK", "25")),
+                "bench_chunk": BENCH_CHUNK,
                 "bench_iters": iters,
             }
         )

@@ -192,3 +192,63 @@ def update_priorities(buf: ReplayBuffer, idx, td_errors, eps=1e-6):
     return buf.replace(
         priority=buf.priority.at[idx].set(jnp.abs(td_errors) + eps)
     )
+
+
+def snapshot(buf: ReplayBuffer, rows):
+    """Compact checkpoint payload: the newest `rows` frames in ring order.
+
+    The full ring is checkpoint-prohibitive (the flagship's 500k x 8192
+    bf16 obs ring is 8 GB through a remote-chip tunnel), but resuming from
+    an EMPTY ring mid-run silently degrades learning (the r4 RGB-D run's
+    sr decay starts exactly at its mid-run OOM restart — VERDICT r4 weak
+    #5). The newest slice is the valuable part: it holds the policy's
+    current-difficulty experience, which demo re-seeding cannot replace.
+
+    Returns a dict pytree (jit-friendly); `n` is the count of genuinely
+    written rows inside the window (< rows early in a run — the leading
+    rows are then unwritten-slot garbage that restore_snapshot excludes
+    via `size`).
+    """
+    rows = int(min(rows, buf.capacity))
+    rows -= rows % buf.batch_stride
+    idx = (buf.ptr - rows + jnp.arange(rows)) % buf.capacity
+    return dict(
+        obs=buf.obs[idx],
+        action=buf.action[idx],
+        reward=buf.reward[idx],
+        done=buf.done[idx],
+        priority=buf.priority[idx],
+        n=jnp.minimum(buf.size, rows).astype(jnp.int32),
+        batch_stride=jnp.asarray(buf.batch_stride, jnp.int32),
+    )
+
+
+def restore_snapshot(buf: ReplayBuffer, snap):
+    """Rebuild a (fresh) buffer from a snapshot() payload.
+
+    Rows land at slots [0, rows); ptr continues at `rows`, so post-resume
+    inserts extend the restored window seamlessly. The final batch_stride
+    restored rows are force-marked done: their ring successors are
+    post-resume frames from unrelated episodes, and a true `done` makes
+    both TD(0) and the n-step gather stop at the seam instead of
+    bootstrapping across it (cost: <= one env-batch of rows treated as
+    terminal).
+    """
+    rows = snap["obs"].shape[0]
+    if rows > buf.capacity or rows % buf.batch_stride:
+        raise ValueError(
+            f"ring snapshot ({rows} rows, stride {int(snap['batch_stride'])}) "
+            f"incompatible with buffer (capacity {buf.capacity}, stride "
+            f"{buf.batch_stride})"
+        )
+    idx = jnp.arange(rows)
+    seam = idx >= rows - buf.batch_stride
+    return buf.replace(
+        obs=buf.obs.at[idx].set(snap["obs"].astype(buf.obs.dtype)),
+        action=buf.action.at[idx].set(snap["action"].astype(buf.action.dtype)),
+        reward=buf.reward.at[idx].set(snap["reward"]),
+        done=buf.done.at[idx].set(snap["done"] | seam),
+        priority=buf.priority.at[idx].set(snap["priority"]),
+        ptr=jnp.asarray(rows % buf.capacity, jnp.int32),
+        size=snap["n"].astype(jnp.int32),
+    )

@@ -272,6 +272,40 @@ class Checkpointer:
         self._best_mgr.wait_until_finished()
 
 
+class RingCheckpointer:
+    """Replay-ring snapshots (separate from the learner Checkpointer).
+
+    The learner bundle stays small and frequent; the ring payload is
+    ~rows x 16 KB and is written on its own (sparser) cadence plus on
+    SIGTERM, under <model_dir>/ring. One snapshot is kept — the newest-K
+    window supersedes any older one by construction (see replay.snapshot).
+    """
+
+    def __init__(self, model_dir):
+        import orbax.checkpoint as ocp
+
+        self._dir = os.path.abspath(os.path.join(model_dir, "ring"))
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir, options=ocp.CheckpointManagerOptions(max_to_keep=1)
+        )
+
+    def save(self, step, snap):
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(int(step), args=ocp.args.StandardSave(snap))
+
+    def restore_raw(self):
+        """Latest snapshot as a raw dict, or None when absent."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step)
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+
 class TrainingTimer:
     """Rolling env-frames/s + update/s (TrainingTimeCallback equivalent)."""
 

@@ -200,3 +200,52 @@ def test_recency_window_clamped_to_valid_range():
     )
     vals = np.asarray(batch["obs"][:, 0])
     assert vals.min() >= 0.0 and vals.max() <= 2.0  # valid t = 0..2
+
+
+def test_ring_snapshot_restore_roundtrip():
+    """snapshot() keeps the newest K frames; restore_snapshot() rebuilds a
+    ring whose samples come only from those frames, with the seam rows
+    (last batch_stride) forced terminal so nothing bootstraps across the
+    save/restore boundary."""
+    buf = replay.create(64, (3,), (2,), batch_stride=4, obs_dtype=jnp.float32)
+    for t in range(20):  # 80 frames -> wraps the 64-slot ring
+        obs = jnp.full((4, 3), float(t))
+        act = jnp.full((4, 2), float(t))
+        rew = jnp.full((4,), float(t))
+        buf = replay.insert(buf, obs, act, rew, jnp.zeros((4,), bool))
+    snap = replay.snapshot(buf, 16)  # newest 16 frames = t in {16..19}
+    assert int(snap["n"]) == 16
+    np.testing.assert_allclose(
+        np.asarray(snap["reward"]).reshape(4, 4)[:, 0], [16, 17, 18, 19]
+    )
+    fresh = replay.create(64, (3,), (2,), batch_stride=4, obs_dtype=jnp.float32)
+    restored = replay.restore_snapshot(fresh, snap)
+    assert int(restored.size) == 16 and int(restored.ptr) == 16
+    # seam: last stride rows marked done
+    assert bool(np.all(np.asarray(restored.done[12:16])))
+    assert not bool(np.any(np.asarray(restored.done[:12])))
+    batch = replay.sample(restored, jax.random.PRNGKey(1), 32)
+    vals = np.asarray(batch["obs"][:, 0])
+    assert vals.min() >= 16.0 and vals.max() <= 19.0
+    # post-restore inserts continue the ring seamlessly
+    restored = replay.insert(
+        restored, jnp.full((4, 3), 20.0), jnp.full((4, 2), 20.0),
+        jnp.full((4,), 20.0), jnp.zeros((4,), bool),
+    )
+    assert int(restored.ptr) == 20 and int(restored.size) == 20
+
+
+def test_ring_snapshot_partial_fill():
+    """Early-run snapshot (size < rows): restore keeps only written rows."""
+    buf = replay.create(64, (3,), (2,), batch_stride=4, obs_dtype=jnp.float32)
+    buf = replay.insert(
+        buf, jnp.ones((4, 3)), jnp.ones((4, 2)), jnp.ones((4,)),
+        jnp.zeros((4,), bool),
+    )
+    snap = replay.snapshot(buf, 16)
+    assert int(snap["n"]) == 4
+    restored = replay.restore_snapshot(
+        replay.create(64, (3,), (2,), batch_stride=4, obs_dtype=jnp.float32),
+        snap,
+    )
+    assert int(restored.size) == 4
