@@ -105,7 +105,10 @@ class GraspEnv:
         if self.simplified and "scene_type" not in scene_cfg:
             self.scene_type = "OnFloor"
         self.max_slots = int(tpu["max_objects"])
-        lib = objlib.get_library(int(tpu["spheres_per_object"]))
+        lib = objlib.get_library(
+            int(tpu["spheres_per_object"]),
+            oo_spheres=int(tpu.get("oo_spheres", 4)),
+        )
         self.library = lib
         self.sim_params = make_sim_params(
             lib,
@@ -113,6 +116,10 @@ class GraspEnv:
             solver_iterations=int(tpu.get("solver_iterations", 8)),
             pad_inner_iterations=int(tpu.get("pad_inner_iterations", 14)),
             dt=float(tpu.get("dt", 1.0 / 240.0)),
+            # Object-object cost knobs (SimParams docstrings; expert-gated
+            # before any config ships them).
+            oo_point_mass_tangent=bool(tpu.get("oo_point_mass_tangent", False)),
+            oo_pass_stride=int(tpu.get("oo_pass_stride", 1)),
         )
         if scene_cfg.get("data_set", "random_urdfs") == "wooden_blocks":
             ids = lib.wooden_block_ids()

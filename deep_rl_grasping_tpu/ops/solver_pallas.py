@@ -759,8 +759,16 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
             # substep-invariant and executed solver_iterations times.
             oo_t1, oo_t2 = _tangent_basis(oo_n)
             oo_w_n = oo_w(oo_n)
-            oo_w_t1 = oo_w(oo_t1)
-            oo_w_t2 = oo_w(oo_t2)
+            if sp["oo_point_mass_tangent"]:
+                # Point-mass friction masses (SimParams.oo_point_mass_tangent):
+                # two of the three (NP,SC,SC,E) effective-mass planes collapse
+                # to one broadcastable (NP,1,1,E) plane — this was the single
+                # largest substep-rate cost in the kernel
+                # (docs/KERNEL_BREAKDOWN.md objobj 57%).
+                oo_w_t1 = oo_w_t2 = jnp.maximum(oo_invm_i + oo_invm_j, 1e-9)
+            else:
+                oo_w_t1 = oo_w(oo_t1)
+                oo_w_t2 = oo_w(oo_t2)
 
             def pass_objobj(V, W, lam):
                 t1, t2 = oo_t1, oo_t2
@@ -871,7 +879,7 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
 
             lam_m = [jnp.zeros_like(q[0]) for _ in range(6)]
 
-            def solver_iteration(it, c):
+            def solver_iteration(c, do_oo=True):
                 V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo = c
                 if not ({"statics", "statics_pass"} & ablate):
                     V, W, lam_st = pass_statics(V, W, lam_st)
@@ -889,16 +897,27 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
                     0, sp["pad_inner_iterations"], pad_iter,
                     (V, W, qd, lam_m, lam_pl, lam_pr),
                 )
-                if not ({"objobj", "objobj_pass"} & ablate):
+                if do_oo and not ({"objobj", "objobj_pass"} & ablate):
                     V, W, lam_oo = pass_objobj(V, W, lam_oo)
                 return (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo)
 
-            (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo) = (
-                jax.lax.fori_loop(
-                    0, sp["solver_iterations"], solver_iteration,
-                    (V, W, list(qd), lam_m, lam_st, lam_pl, lam_pr, lam_oo),
+            carry_it = (V, W, list(qd), lam_m, lam_st, lam_pl, lam_pr,
+                        lam_oo)
+            stride = sp["oo_pass_stride"]
+            if stride > 1:
+                # Strided object-object passes (SimParams.oo_pass_stride):
+                # unroll the small static iteration count so the skip
+                # compiles away (mirrors physics._solve_contacts).
+                for it in range(sp["solver_iterations"]):
+                    carry_it = solver_iteration(
+                        carry_it, do_oo=(it % stride == 0)
+                    )
+            else:
+                carry_it = jax.lax.fori_loop(
+                    0, sp["solver_iterations"],
+                    lambda it, c: solver_iteration(c), carry_it,
                 )
-            )
+            (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo) = carry_it
 
             # ---------------------------------------------------- integrate
             V = tuple(jnp.clip(v, -4.0, 4.0) * alive for v in V)
@@ -988,6 +1007,8 @@ def _scalar_params(params: SimParams) -> dict:
         dof_mass=tuple(np.asarray(params.dof_mass, np.float32).tolist()),
         dof_force=tuple(np.asarray(params.dof_force, np.float32).tolist()),
         dof_vmax=tuple(np.asarray(params.dof_vmax, np.float32).tolist()),
+        oo_point_mass_tangent=bool(params.oo_point_mass_tangent),
+        oo_pass_stride=int(params.oo_pass_stride),
     )
 
 

@@ -324,5 +324,5 @@ class ObjectLibrary:
 
 
 @functools.lru_cache(maxsize=4)
-def get_library(spheres_per_object=8, seed=20260816):
-    return ObjectLibrary(spheres_per_object, seed)
+def get_library(spheres_per_object=8, seed=20260816, oo_spheres=4):
+    return ObjectLibrary(spheres_per_object, seed, oo_spheres)

@@ -353,6 +353,13 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
     w_n = w_dir(n)
     w_t1 = w_dir(t1)
     w_t2 = w_dir(t2)
+    if params.oo_point_mass_tangent:
+        # Point-mass tangent approximation for object-object friction rows
+        # only (see SimParams.oo_point_mass_tangent). Pad/static rows and
+        # every normal row keep the exact effective mass.
+        w_pm = jnp.maximum(inv_m_a + inv_m_b, 1e-9)
+        w_t1 = jnp.where(is_obj_b, w_pm, w_t1)
+        w_t2 = jnp.where(is_obj_b, w_pm, w_t2)
 
     bias = jnp.minimum(
         params.baumgarte / params.dt
@@ -527,7 +534,7 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
 
     # Category roles: cats[0] statics, cats[1] left pad, cats[2] right pad,
     # cats[3] (optional) object-object.
-    def iteration(carry, _):
+    def iteration(carry, _, do_oo=True):
         V, W, qd, lam_m, lams = carry
         lams = list(lams)
         V, W, qd, lams[0] = solve_category(V, W, qd, lams[0], *cats[0])
@@ -547,8 +554,9 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
             pad_pass, (V, W, qd, lam_m, lams[1], lams[2]), None,
             length=params.pad_inner_iterations,
         )
-        for ci in range(3, len(cats)):
-            V, W, qd, lams[ci] = solve_category(V, W, qd, lams[ci], *cats[ci])
+        if do_oo:
+            for ci in range(3, len(cats)):
+                V, W, qd, lams[ci] = solve_category(V, W, qd, lams[ci], *cats[ci])
         return (V, W, qd, lam_m, tuple(lams)), None
 
     # Warm start: contact slots have stable identity (slot = sphere x
@@ -576,9 +584,20 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
             lam0.append((ln, lt1_, lt2_))
         lam0 = tuple(lam0)
     lam_m0 = jnp.zeros(6)
-    (V, W, qd, _, lams), _ = jax.lax.scan(
-        iteration, (V, W, qd, lam_m0, lam0), None, length=params.solver_iterations
-    )
+    if params.oo_pass_stride > 1:
+        # Strided object-object passes: the iteration count is small and
+        # static, so unroll (mirrors the Pallas kernel's unrolled form).
+        carry = (V, W, qd, lam_m0, lam0)
+        for it in range(params.solver_iterations):
+            carry, _ = iteration(
+                carry, None, do_oo=(it % params.oo_pass_stride == 0)
+            )
+        V, W, qd, _, lams = carry
+    else:
+        (V, W, qd, _, lams), _ = jax.lax.scan(
+            iteration, (V, W, qd, lam_m0, lam0), None,
+            length=params.solver_iterations,
+        )
     # attach this substep's contact normals for warm-start gating
     lams = tuple(
         lam + (n[s:e],) for (s, e), lam in zip(cats, lams)

@@ -106,6 +106,24 @@ class SimParams:
     # Inner alternations of (finger motors, left pad, right pad) per solver
     # iteration — resolves the stiff two-pad squeeze subsystem.
     pad_inner_iterations: int = struct.field(pytree_node=False, default=14)
+    # Object-object cost knobs (docs/KERNEL_BREAKDOWN.md: the objobj
+    # category was 57% of the fused kernel). Both are expert-fidelity-gated
+    # before any production config flips them (docs/PHYSICS_SCHEDULE.md).
+    #
+    # oo_point_mass_tangent: approximate the FRICTION effective masses of
+    # object-object contacts as 1/m_i + 1/m_j, dropping the rotational
+    # r x d . I^-1 (r x d) terms (the normal row keeps the exact mass).
+    # Rationale: objobj friction only has to damp relative sliding between
+    # resting/colliding objects — grasp fidelity lives in the pad rows,
+    # which stay exact. Dropping the positive rotational terms
+    # underestimates w (overshoots the tangent impulse), but the friction
+    # cone projection bounds it by mu*lam_n each pass.
+    oo_point_mass_tangent: bool = struct.field(pytree_node=False, default=False)
+    # oo_pass_stride: solve the object-object rows every Nth solver
+    # iteration (always on iteration 0; warm start unaffected). Objobj
+    # couplings are soft (resting piles) vs the stiff pad pinch, so their
+    # Gauss-Seidel residual tolerates fewer sweeps.
+    oo_pass_stride: int = struct.field(pytree_node=False, default=1)
     pad_omega: float = 0.4
     pad_bias_scale: float = 0.1
     # Object library (dense arrays, set at build time)

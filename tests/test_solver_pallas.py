@@ -189,3 +189,49 @@ def test_batch_padding(params):
         states, params, n, block_e=4, interpret=True
     )
     _assert_close(ref, out, 2e-4)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(oo_point_mass_tangent=True),
+        dict(oo_pass_stride=2),
+        dict(oo_point_mass_tangent=True, oo_pass_stride=2),
+    ],
+    ids=["pm_tangent", "stride2", "pm+stride"],
+)
+def test_objobj_knob_parity(params, opts):
+    """The object-object cost knobs (SimParams.oo_point_mass_tangent /
+    oo_pass_stride) change the solve in BOTH paths identically: XLA and
+    Pallas must still agree to float tolerance with the knobs on."""
+    import dataclasses
+
+    p = dataclasses.replace(params, **opts)
+    B = 4
+    states = _make_states(p, B, jax.random.PRNGKey(3))
+    n = 12
+    ref = jax.vmap(lambda s: physics.run(s, p, n))(states)
+    out = solver_pallas.run_batched_sim(states, p, n, block_e=B, interpret=True)
+    _assert_close(ref, out, 2e-4)
+
+
+def test_objobj_knobs_stay_physical(params):
+    """With both knobs on, settled objects neither explode nor sink: the
+    approximation only touches friction effective masses / pass cadence,
+    so resting contact (normal rows) must stay resolved."""
+    import dataclasses
+
+    p = dataclasses.replace(
+        params, oo_point_mass_tangent=True, oo_pass_stride=2
+    )
+    B = 4
+    states = _make_states(p, B, jax.random.PRNGKey(7))
+    out = jax.vmap(lambda s: physics.run(s, p, 48))(states)
+    z = np.asarray(out.objects.pos[..., 2])
+    alive = np.asarray(out.objects.alive)
+    r_max = float(np.max(np.asarray(p.radii)))
+    # every alive object's COM is above the support and below a sane bound
+    assert np.all(z[alive] > p.support_z - 1e-3)
+    assert np.all(z[alive] < p.support_z + 10 * r_max)
+    v = np.asarray(out.objects.linvel)
+    assert np.all(np.abs(v[alive]) < 4.0)
