@@ -36,6 +36,8 @@ BASE = cfg_util.load_config(args.config)
 B = args.envs
 
 # (name, tpu-overrides)
+_DT80 = {"dt": 1.0 / 80.0, "gripper_substeps": 16, "move_substeps": 8,
+         "solver_iterations": 4, "pad_inner_iterations": 6}
 VARIANTS = [
     ("default 48ss/8it/14pad dt240", {}),
     ("pad8     48ss/8it/8pad",  {"pad_inner_iterations": 8}),
@@ -74,6 +76,21 @@ VARIANTS = [
     ("dt40it2pad4  8ss/2it/4pad dt40",
      {"dt": 1.0 / 40.0, "gripper_substeps": 8, "move_substeps": 4,
       "solver_iterations": 2, "pad_inner_iterations": 4}),
+    # Round-5 object-object knobs (SimParams.oo_point_mass_tangent /
+    # oo_pass_stride / tpu.oo_spheres) on the shipped dt80it4pad6 base —
+    # compare against the baseline r5oo_base line from the SAME run (the
+    # five-class library moved the lambda=1 expert rate to ~94-96%, so the
+    # gate here is "within a point of base", not the old 99% absolute).
+    ("r5oo_base    dt80it4pad6", _DT80),
+    ("r5oo_pm      + point-mass tangent", dict(_DT80, oo_point_mass_tangent=True)),
+    ("r5oo_stride2 + oo stride 2", dict(_DT80, oo_pass_stride=2)),
+    ("r5oo_sc3     + SC=3", dict(_DT80, oo_spheres=3)),
+    ("r5oo_all     pm+stride2+SC3",
+     dict(_DT80, oo_point_mass_tangent=True, oo_pass_stride=2, oo_spheres=3)),
+    ("r5oo_dt40all dt40it4pad6+pm+stride2+SC3",
+     {"dt": 1.0 / 40.0, "gripper_substeps": 8, "move_substeps": 4,
+      "solver_iterations": 4, "pad_inner_iterations": 6,
+      "oo_point_mass_tangent": True, "oo_pass_stride": 2, "oo_spheres": 3}),
 ]
 
 
