@@ -120,6 +120,10 @@ class GraspEnv:
             # before any config ships them).
             oo_point_mass_tangent=bool(tpu.get("oo_point_mass_tangent", False)),
             oo_pass_stride=int(tpu.get("oo_pass_stride", 1)),
+            # Rolling resistance (SimParams.rolling_damping; round-5
+            # fidelity fix — see sim/types.py). Override to 0 to reproduce
+            # the pre-r5 rolling behavior.
+            rolling_damping=float(tpu.get("rolling_damping", 0.1)),
         )
         if scene_cfg.get("data_set", "random_urdfs") == "wooden_blocks":
             ids = lib.wooden_block_ids()

@@ -919,6 +919,13 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
                 )
             (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo) = carry_it
 
+            # Rolling resistance at static contacts (mirrors
+            # physics._solve_contacts; SimParams.rolling_damping).
+            if sp["rolling_damping"] > 0:
+                touch = _f(st_act.sum((0, 2)) > 0.0)  # (K,E)
+                roll = 1.0 - sp["rolling_damping"] * touch
+                W = tuple(w * roll for w in W)
+
             # ---------------------------------------------------- integrate
             V = tuple(jnp.clip(v, -4.0, 4.0) * alive for v in V)
             W = tuple(jnp.clip(w, -50.0, 50.0) * alive for w in W)
@@ -1009,6 +1016,7 @@ def _scalar_params(params: SimParams) -> dict:
         dof_vmax=tuple(np.asarray(params.dof_vmax, np.float32).tolist()),
         oo_point_mass_tangent=bool(params.oo_point_mass_tangent),
         oo_pass_stride=int(params.oo_pass_stride),
+        rolling_damping=float(params.rolling_damping),
     )
 
 

@@ -128,7 +128,7 @@ def _random_object_geometry(rng, s):
         centers = np.zeros((n, 3))
         centers[:, 0] = t * (1.0 * r * (n - 1))
         radii = np.full(n, r) * rng.uniform(0.9, 1.1, n)
-        return centers, radii
+        return centers, radii, shape
     if shape == "plate":
         cols = min(s // 2, 4)
         r = rng.uniform(0.009, 0.013)
@@ -139,7 +139,7 @@ def _random_object_geometry(rng, s):
             [gx.ravel(), gy.ravel(), np.zeros(2 * cols)], axis=1
         )
         radii = np.full(2 * cols, r)
-        return centers, radii
+        return centers, radii, shape
     if shape == "bent":
         n = min(s, 6)
         n_a = n // 2 + 1
@@ -152,7 +152,7 @@ def _random_object_geometry(rng, s):
         centers = np.concatenate([arm_a, arm_b], 0)
         centers -= centers.mean(0)
         radii = np.full(n, r) * rng.uniform(0.9, 1.1, n)
-        return centers, radii
+        return centers, radii, shape
     if shape == "block":
         r = rng.uniform(0.008, 0.013)
         two_layer = s >= 8 and rng.random() < 0.5
@@ -164,7 +164,7 @@ def _random_object_geometry(rng, s):
                     pts.append([x, y, z])
         centers = np.asarray(pts)
         radii = np.full(len(pts), r)
-        return centers, radii
+        return centers, radii, shape
 
     # blob (round-3 geometry, unchanged)
     n = int(rng.integers(3, s + 1))
@@ -192,7 +192,7 @@ def _random_object_geometry(rng, s):
         sat_c = centers[host] + offs * (radii[host] * 0.8)[:, None]
         centers = np.concatenate([centers, sat_c], 0)
         radii = np.concatenate([radii, sat_r], 0)
-    return centers, radii
+    return centers, radii, shape
 
 
 def _coarse_fit(centers, radii, k):
@@ -268,15 +268,17 @@ class ObjectLibrary:
         mass = np.zeros(T, np.float32)
         inv_inertia = np.zeros((T, 3), np.float32)
         color = np.zeros((T, 3), np.float32)
+        shape_class = np.empty(T, dtype=object)
 
         rng = np.random.default_rng(seed)
         for t in range(T):
             if t < NUM_WOODEN:
                 c, r = _block_geometry(WOODEN_BLOCK_NAMES[t], S)
+                shape_name = "wooden"
                 density = WOOD_DENSITY
                 col = np.array([0.1, 0.5, 0.8]) if t == 1 else rng.uniform(0.3, 0.9, 3)
             else:
-                c, r = _random_object_geometry(rng, S)
+                c, r, shape_name = _random_object_geometry(rng, S)
                 density = rng.uniform(300.0, 900.0)
                 col = rng.uniform(0.2, 0.95, 3)
             c = c[:S]
@@ -297,6 +299,7 @@ class ObjectLibrary:
             mass[t] = m
             inv_inertia[t] = 1.0 / np.maximum(evals, 1e-9)
             color[t] = col
+            shape_class[t] = shape_name
 
         self.centers = centers
         self.radii = radii
@@ -308,6 +311,9 @@ class ObjectLibrary:
         self.color = color
         # Max distance from COM to sphere surface: used for settled placement.
         self.bound_radius = (np.linalg.norm(centers, axis=-1) + radii).max(-1).astype(np.float32)
+        # Affordance class per type id ("wooden" or one of the five random
+        # classes) — per-class success breakdowns in eval probes.
+        self.shape_class = shape_class.astype(str)
 
     # Dataset splits (reference base_scene.py:32-43); ids offset by NUM_WOODEN.
     def random_urdf_ids(self, test=False, validate=False):

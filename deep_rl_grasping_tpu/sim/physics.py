@@ -598,6 +598,20 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
             iteration, (V, W, qd, lam_m0, lam0), None,
             length=params.solver_iterations,
         )
+    # Rolling resistance at static contacts (SimParams.rolling_damping):
+    # sphere compounds are perfectly round, so without this a settled rod
+    # rolls indefinitely on the flat floor (the reference's meshes stop on
+    # their faces; Bullet's analogue is contact rolling_friction).
+    if params.rolling_damping > 0:
+        is_static = (contacts["b_kind"] == 0) & active
+        touch = (
+            jax.ops.segment_sum(
+                is_static.astype(jnp.float32), ia, num_segments=K
+            )
+            > 0
+        )
+        W = W * jnp.where(touch, 1.0 - params.rolling_damping, 1.0)[:, None]
+
     # attach this substep's contact normals for warm-start gating
     lams = tuple(
         lam + (n[s:e],) for (s, e), lam in zip(cats, lams)

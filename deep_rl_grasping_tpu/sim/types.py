@@ -106,6 +106,17 @@ class SimParams:
     # Inner alternations of (finger motors, left pad, right pad) per solver
     # iteration — resolves the stiff two-pad squeeze subsystem.
     pad_inner_iterations: int = struct.field(pytree_node=False, default=14)
+    # Rolling resistance at static (floor/tray) contacts, as a per-substep
+    # angular-velocity damping factor applied to objects with an active
+    # static contact. Fidelity fix (round 5): the reference's mesh objects
+    # stop rolling on their flat faces, but our sphere-compound stand-ins
+    # are perfectly round — a settled rod picks up ~6 rad/s during the
+    # spawn slump and then rolls >10 cm across the floor with nothing but
+    # air damping to stop it (a moving grasp target the reference never
+    # has). Bullet exposes the same mitigation as contact rolling_friction.
+    # 0.1/substep => a rolling rod stops within ~2 control steps at dt80;
+    # airborne/tumbling objects are unaffected (no static contact).
+    rolling_damping: float = struct.field(pytree_node=False, default=0.1)
     # Object-object cost knobs (docs/KERNEL_BREAKDOWN.md: the objobj
     # category was 57% of the fused kernel). Both are expert-fidelity-gated
     # before any production config flips them (docs/PHYSICS_SCHEDULE.md).

@@ -308,6 +308,7 @@ def train(args):
     stop_at_sr = config.get("tpu", {}).get("stop_at_sr")
     stop_patience = int(config.get("tpu", {}).get("stop_at_patience", 50))
     stop_streak = 0
+    solved = False
 
     logging.info("training %s for %d frames (%d envs)", algo, total_timesteps,
                  trainer.num_envs)
@@ -377,6 +378,7 @@ def train(args):
                         "consecutive chunks (%d frames)", sr,
                         float(stop_at_sr), stop_patience, frames,
                     )
+                    solved = True
                     break
 
             if (q_band and not sharded and "q_target_mean" in row
@@ -459,7 +461,14 @@ def train(args):
     scalars.close()
     eval_log.close()
     tb.close()
-    logging.info("done: %d frames", frames)
+    # "done:" is the completion marker external orchestration greps for
+    # (scripts_dev/run_queue_dyn.sh): only a finished or solved run gets
+    # it; a SIGTERM/interrupt exit must say "stopped:" so the queue
+    # resumes instead of marking the job complete.
+    if frames >= total_timesteps or solved:
+        logging.info("done: %d frames", frames)
+    else:
+        logging.info("stopped: %d frames (target %d)", frames, total_timesteps)
 
 
 def run(args):

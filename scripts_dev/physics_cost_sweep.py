@@ -82,6 +82,11 @@ VARIANTS = [
     # five-class library moved the lambda=1 expert rate to ~94-96%, so the
     # gate here is "within a point of base", not the old 99% absolute).
     ("r5oo_base    dt80it4pad6", _DT80),
+    # Rolling-resistance fidelity fix (round 5, SimParams.rolling_damping
+    # default 0.1): nodamp reproduces the pre-r5 rolling-rod behavior so
+    # the expert-rate delta of the fix is measured on the chip.
+    ("r5oo_nodamp  dt80it4pad6 rolling_damping=0",
+     dict(_DT80, rolling_damping=0.0)),
     ("r5oo_pm      + point-mass tangent", dict(_DT80, oo_point_mass_tangent=True)),
     ("r5oo_stride2 + oo stride 2", dict(_DT80, oo_pass_stride=2)),
     ("r5oo_sc3     + SC=3", dict(_DT80, oo_spheres=3)),

@@ -175,3 +175,34 @@ def test_vmapped_batch_step(params):
     stepped = jax.jit(jax.vmap(lambda s: physics.run(s, params, 24)))(states)
     assert stepped.objects.pos.shape == (16, 5, 3)
     assert bool(jnp.all(jnp.isfinite(stepped.objects.pos)))
+
+
+def test_rolling_object_stops(params):
+    """Rolling resistance (SimParams.rolling_damping): a sphere-compound
+    spinning on the floor must stop rolling within a few control steps —
+    the reference's mesh objects stop on their flat faces, and a rod that
+    rolls forever is a moving grasp target the task never intends
+    (round-5 fidelity fix). With damping disabled it keeps rolling."""
+    import dataclasses
+
+    # resting on the floor, spinning about x at 6 rad/s (the magnitude a
+    # spawn slump imparts), which rolls it along -y
+    lib_r = float(jnp.max(params.radii[CUBE]))
+    z0 = params.support_z + lib_r
+    state = single_object_state(params, [0.0, 0.0, z0])
+    state = state.replace(
+        objects=state.objects.replace(
+            angvel=jnp.asarray([[6.0, 0.0, 0.0]], jnp.float32)
+        )
+    )
+    n = 48  # 3 control steps' worth of dt80 substeps
+    out = jax.jit(lambda s: physics.run(s, params, n))(state)
+    w = float(jnp.abs(out.objects.angvel[0]).max())
+    v = float(jnp.abs(out.objects.linvel[0]).max())
+    assert w < 0.5 and v < 0.02, (w, v)
+
+    free = dataclasses.replace(params, rolling_damping=0.0)
+    out2 = jax.jit(lambda s: physics.run(s, free, n))(state)
+    w2 = float(jnp.abs(out2.objects.angvel[0]).max())
+    # without the fix only air damping acts — at least 3x more residual spin
+    assert w2 > 3.0 * w, (w2, w)
