@@ -296,6 +296,17 @@ class Trainer(EvalMixin):
         # on the harder object library; exploration died mid-curriculum and
         # the policy decayed instead of adapting at lambda=0.875.
         self.entropy_anneal_lambda = bool(tpu_cfg.get("entropy_anneal_lambda"))
+        # Floor on the lambda cap (round-5 fix): with a bare min(frac,
+        # lambda) the anneal deadlocks at lambda=0 — the target stays at
+        # the initial (hot) entropy, the stochastic window sr ceilings
+        # under the curriculum threshold, and lambda can never rise (r5b:
+        # 1.26M frames parked at lambda=0 with the DETERMINISTIC eval at
+        # 1.0 throughout). frac <= floor + (1-floor)*lambda lets the
+        # anneal reach `floor` of its range on frames alone, while the
+        # final cold stretch stays curriculum-gated (the r4 fix).
+        self.entropy_anneal_floor = float(
+            tpu_cfg.get("entropy_anneal_floor", 0.5)
+        )
         if self.demo_batch > 0 and not int(tpu_cfg.get("demo_frames", 0)):
             raise ValueError(
                 "tpu.demo_fraction > 0 requires tpu.demo_frames > 0 "
@@ -456,7 +467,8 @@ class Trainer(EvalMixin):
             frames.astype(jnp.float32) / a.target_entropy_anneal, 0.0, 1.0
         )
         if self.entropy_anneal_lambda and lam is not None:
-            frac = jnp.minimum(frac, lam)
+            f = self.entropy_anneal_floor
+            frac = jnp.minimum(frac, f + (1.0 - f) * lam)
         return a.target_entropy + frac * (
             float(a.target_entropy_final) - a.target_entropy
         )

@@ -233,25 +233,39 @@ def test_update_batch_scale_preserves_replay_ratio():
 
 
 def test_entropy_anneal_lambda_caps_fraction():
-    """With tpu.entropy_anneal_lambda, the anneal fraction is capped by the
-    curriculum lambda: frames alone can't drive the target to its final
-    value while the curriculum is still ramping."""
+    """With tpu.entropy_anneal_lambda, the anneal fraction is capped by
+    floor + (1-floor)*lambda: frames alone can't drive the target fully
+    cold while the curriculum ramps (the r4 fix), but the floor lets it
+    reach `floor` of the range at lambda=0 — a hard cap at lambda
+    deadlocked r5b (hot target -> stochastic sr under the curriculum
+    threshold -> lambda pinned at 0 for 1.26M frames)."""
     cfg = _cfg(SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16],
                     "target_entropy": 0.0, "target_entropy_final": -4.0,
                     "target_entropy_anneal": 100})
     cfg["tpu"]["entropy_anneal_lambda"] = True
     tr = Trainer(cfg, algo="SAC")
+    assert tr.entropy_anneal_floor == pytest.approx(0.5)
     frames = jnp.asarray(1000, jnp.int32)  # frames_frac = 1.0
     full = float(tr._target_entropy_at(frames, lam=jnp.asarray(1.0)))
     half = float(tr._target_entropy_at(frames, lam=jnp.asarray(0.5)))
     zero = float(tr._target_entropy_at(frames, lam=jnp.asarray(0.0)))
     assert full == pytest.approx(-4.0)
-    assert half == pytest.approx(-2.0)
-    assert zero == pytest.approx(0.0)
+    assert half == pytest.approx(-3.0)   # 0.5 + 0.5*0.5 = 0.75 of range
+    assert zero == pytest.approx(-2.0)   # floor alone: 0.5 of range
     # frames still cap the fraction when they are the binding constraint
     early = float(tr._target_entropy_at(jnp.asarray(50, jnp.int32),
                                         lam=jnp.asarray(1.0)))
     assert early == pytest.approx(-2.0)
+    # floor=0 restores the strict lambda cap
+    cfg0 = _cfg(SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16],
+                     "target_entropy": 0.0, "target_entropy_final": -4.0,
+                     "target_entropy_anneal": 100})
+    cfg0["tpu"]["entropy_anneal_lambda"] = True
+    cfg0["tpu"]["entropy_anneal_floor"] = 0.0
+    tr0 = Trainer(cfg0, algo="SAC")
+    assert float(tr0._target_entropy_at(frames, lam=jnp.asarray(0.0))) == (
+        pytest.approx(0.0)
+    )
     # disabled flag: lambda is ignored
     cfg2 = _cfg(SAC={"batch_size": 8, "buffer_size": 128, "layers": [16, 16],
                      "target_entropy": 0.0, "target_entropy_final": -4.0,
