@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--episodes", type=int, default=64)
     ap.add_argument("--latest", action="store_true")
     ap.add_argument("--test", action="store_true")
+    ap.add_argument("--expert", action="store_true",
+                    help="roll the scripted expert instead of the policy "
+                         "(isolates env/geometry artifacts from policy gaps)")
     args = ap.parse_args()
 
     from deep_rl_grasping_tpu.algos import normalize as norm_mod
@@ -90,9 +93,18 @@ def main():
             def body(c):
                 states, obs, done_once, succ, k, t = c
                 k, ka = jax.random.split(k)
-                obs_in = (norm_mod.normalize_obs(normalizer, obs)
-                          if trainer.normalize else obs)
-                acts = trainer._act(algo_state, obs_in, ka, deterministic=True)
+                if args.expert:
+                    from deep_rl_grasping_tpu.envs import scripted
+
+                    keys = jax.random.split(ka, B)
+                    acts = jax.vmap(
+                        lambda s, kk: scripted.scripted_full_action(env, s, kk)
+                    )(states, keys)
+                else:
+                    obs_in = (norm_mod.normalize_obs(normalizer, obs)
+                              if trainer.normalize else obs)
+                    acts = trainer._act(algo_state, obs_in, ka,
+                                        deterministic=True)
                 states, obs, r, dones, infos, _ = benv.step(states, acts, cur)
                 first = dones & ~done_once
                 succ = jnp.where(first, infos["is_success"], succ)
