@@ -124,6 +124,8 @@ class GraspEnv:
             # fidelity fix — see sim/types.py). Override to 0 to reproduce
             # the pre-r5 rolling behavior.
             rolling_damping=float(tpu.get("rolling_damping", 0.1)),
+            # In-hand spin resistance (default off; see SimParams).
+            pinch_damping=float(tpu.get("pinch_damping", 0.0)),
         )
         if scene_cfg.get("data_set", "random_urdfs") == "wooden_blocks":
             ids = lib.wooden_block_ids()

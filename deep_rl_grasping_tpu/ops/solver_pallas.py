@@ -919,6 +919,19 @@ def _make_kernel(sp: dict, K, S, SC, n_substeps, ablate=frozenset()):
                 )
             (V, W, qd, lam_m, lam_st, lam_pl, lam_pr, lam_oo) = carry_it
 
+            # In-hand spin resistance (mirrors physics._solve_contacts;
+            # SimParams.pinch_damping): damp toward the gripper yaw rate.
+            if sp["pinch_damping"] > 0:
+                pinched = _f(
+                    (pl_act.sum(1) > 0.0) & (pr_act.sum(1) > 0.0)
+                )  # (K,E)
+                c = sp["pinch_damping"] * pinched
+                W = (
+                    W[0] - c * W[0],
+                    W[1] - c * W[1],
+                    W[2] - c * (W[2] - qd[3][None, :]),
+                )
+
             # Rolling resistance at static contacts (mirrors
             # physics._solve_contacts; SimParams.rolling_damping).
             if sp["rolling_damping"] > 0:
@@ -1017,6 +1030,7 @@ def _scalar_params(params: SimParams) -> dict:
         oo_point_mass_tangent=bool(params.oo_point_mass_tangent),
         oo_pass_stride=int(params.oo_pass_stride),
         rolling_damping=float(params.rolling_damping),
+        pinch_damping=float(params.pinch_damping),
     )
 
 

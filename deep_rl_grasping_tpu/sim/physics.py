@@ -598,6 +598,27 @@ def _solve_contacts(state, params, contacts, V, W, qd, inv_I_world,
             iteration, (V, W, qd, lam_m0, lam0), None,
             length=params.solver_iterations,
         )
+    # In-hand spin resistance (SimParams.pinch_damping): objects with
+    # active contacts on BOTH finger pads damp their angular velocity
+    # toward the gripper's yaw rate (relative spin only — a held object
+    # still co-rotates with the wrist).
+    if params.pinch_damping > 0:
+        def _cat_touch(ci):
+            s, e = cats[ci]
+            return (
+                jax.ops.segment_sum(
+                    active[s:e].astype(jnp.float32), ia[s:e], num_segments=K
+                )
+                > 0
+            )
+        pinched = _cat_touch(1) & _cat_touch(2)
+        w_grip = jnp.array([0.0, 0.0, 1.0]) * qd[3]
+        W = jnp.where(
+            pinched[:, None],
+            W - params.pinch_damping * (W - w_grip[None]),
+            W,
+        )
+
     # Rolling resistance at static contacts (SimParams.rolling_damping):
     # sphere compounds are perfectly round, so without this a settled rod
     # rolls indefinitely on the flat floor (the reference's meshes stop on

@@ -117,6 +117,14 @@ class SimParams:
     # 0.1/substep => a rolling rod stops within ~2 control steps at dt80;
     # airborne/tumbling objects are unaffected (no static contact).
     rolling_damping: float = struct.field(pytree_node=False, default=0.1)
+    # In-hand spin resistance (round-5, default OFF pending a trained-run
+    # validation): an object pinched between BOTH pads damps its angular
+    # velocity toward the gripper's yaw rotation. Sphere compounds rotate
+    # freely about the grip axis on perfectly-round contact paths where a
+    # real box/plate's flat faces would lock — measured ceiling: the
+    # scripted expert itself only holds block 58% / plate 78% at lambda=1
+    # while blob/rod/bent are 98-100% (out/class_probe_expert.log).
+    pinch_damping: float = struct.field(pytree_node=False, default=0.0)
     # Object-object cost knobs (docs/KERNEL_BREAKDOWN.md: the objobj
     # category was 57% of the fused kernel). Both are expert-fidelity-gated
     # before any production config flips them (docs/PHYSICS_SCHEDULE.md).

@@ -235,3 +235,23 @@ def test_objobj_knobs_stay_physical(params):
     assert np.all(z[alive] < p.support_z + 10 * r_max)
     v = np.asarray(out.objects.linvel)
     assert np.all(np.abs(v[alive]) < 4.0)
+
+
+def test_pinch_damping_parity(params):
+    """SimParams.pinch_damping (in-hand spin resistance): XLA and Pallas
+    paths agree with the knob on, driving a close-and-squeeze sequence so
+    both-pad contacts actually occur."""
+    import dataclasses
+
+    p = dataclasses.replace(params, pinch_damping=0.2)
+    B = 4
+    states = _make_states(p, B, jax.random.PRNGKey(11), height=0.11)
+    states = states.replace(
+        gripper=states.gripper.replace(
+            finger_target=jnp.full((B,), FINGER_CLOSED)
+        )
+    )
+    n = 16
+    ref = jax.vmap(lambda s: physics.run(s, p, n))(states)
+    out = solver_pallas.run_batched_sim(states, p, n, block_e=B, interpret=True)
+    _assert_close(ref, out, 2e-4)
