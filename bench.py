@@ -125,6 +125,11 @@ def bench_train(iters, update_batch_scale=1):
                      "sac_full_flagship.yaml")
     )
     cfg.setdefault("SAC", {})["buffer_size"] = 200_000
+    # The benched iterations must actually RUN the gradient updates: with
+    # the config's learning_starts (20k) unmet in a short bench, the
+    # trainer's can_learn gate discards the update results and XLA is free
+    # to skip the work — measured 112k bogus "train" steps/s at scale 16.
+    cfg["SAC"]["learning_starts"] = 0
     if update_batch_scale > 1:
         cfg.setdefault("tpu", {})["update_batch_scale"] = update_batch_scale
     trainer = Trainer(cfg, algo="SAC")
